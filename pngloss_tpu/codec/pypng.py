@@ -1,0 +1,554 @@
+"""Pure-Python/numpy PNG codec.
+
+This is the correctness-reference host codec for pngloss-tpu. It replaces the
+reference's libpng wrapper (see /root/reference/src/rwpng.c) with a standalone
+implementation on top of the system zlib, reproducing exactly the normalizations
+the reference applies on read and the packing/filtering/deflate behavior libpng
+exhibits on write, so that output files are byte-identical to the C tool.
+
+Decode (rwpng.c:179-400 behavior):
+  * every input is normalized to 8-bit RGBA rows:
+      - palette expanded to RGB (+tRNS alpha)           (rwpng.c:240-241)
+      - low-bit-depth gray expanded to 8 bits
+      - tRNS expanded to a full alpha channel
+      - 16-bit samples stripped to their high byte      (rwpng.c:250-252)
+      - gray replicated to RGB                          (rwpng.c:254-256)
+      - opaque filler alpha=255 added when no alpha     (rwpng.c:241)
+      - Adam7 interlacing resolved
+  * gamma/sRGB bookkeeping mirrors rwpng.c:258-275 (color transform tag only;
+    no pixel-value gamma conversion happens in the reference without LCMS).
+  * ancillary chunk preservation: pHYs/iTXt/tEXt/zTXt and unknown
+    safe-to-copy chunks are kept unless strip=True; iCCP/cHRM/gAMA are never
+    kept as raw chunks (rwpng.c:129-156, 210-218).
+
+Encode (rwpng.c:445-637 behavior):
+  * gray/alpha re-detected on the final pixels (rwpng.c:557-573)
+  * packed to GRAY / GRAY+ALPHA / RGB / RGBA (rwpng.c:576-624)
+  * row 0 filter chosen by libpng's minimum-sum-of-absolute-differences
+    heuristic; rows >= 1 use the caller-forced filter (rwpng.c:488-495)
+  * zlib level 9, memLevel 9, 8192-byte IDAT chunking — matches libpng's
+    default zbuffer flushing, giving byte-identical streams with the same
+    system zlib (rwpng.c:471-472)
+  * maximum_file_size enforcement -> TOO_LARGE_FILE (rwpng.c:631-633)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color transform tags, mirroring rwpng_color_transform (rwpng.h:52-60)
+COLOR_NONE = "none"
+COLOR_SRGB = "srgb"
+COLOR_GAMA_ONLY = "gama_only"
+
+# filter ids (PNG spec) — also the order of the reference's pngloss_filter enum
+FILTER_NONE, FILTER_SUB, FILTER_UP, FILTER_AVG, FILTER_PAETH = range(5)
+
+# libpng PNG_FILTER_* masks, used for row_filters interchange with the CLI
+PNG_FILTER_MASKS = (0x08, 0x10, 0x20, 0x40, 0x80)
+
+_ADAM7 = (  # (x_start, y_start, x_step, y_step)
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 4, 4, 8),
+    (0, 2, 2, 4),
+    (1, 2, 2, 4),
+    (0, 1, 1, 2),
+)
+
+# chunks libpng keeps via png_set_keep_unknown_chunks + read_chunk_callback
+_KEPT_KNOWN = {b"pHYs", b"iTXt", b"tEXt", b"zTXt"}
+_NEVER_KEPT = {b"iCCP", b"cHRM", b"gAMA"}
+_CRITICAL = {b"IHDR", b"PLTE", b"IDAT", b"IEND", b"tRNS", b"sRGB", b"bKGD", b"hIST", b"sBIT", b"tIME"}
+
+
+class PngDecodeError(ValueError):
+    pass
+
+
+class TooLargeFile(Exception):
+    """Output exceeded maximum_file_size (exit code 98 in the CLI)."""
+
+
+@dataclass
+class Chunk:
+    name: bytes       # 4-byte chunk type
+    data: bytes
+    location: int     # 1 = before PLTE/IDAT, 8 = after IDAT (libpng-style)
+
+
+@dataclass
+class DecodedImage:
+    rgba: np.ndarray                      # (H, W, 4) uint8
+    gamma: float = 0.45455
+    color_transform: str = COLOR_NONE     # input == output transform in reference
+    chunks: list[Chunk] = field(default_factory=list)
+    file_size: int = 0
+
+    @property
+    def width(self) -> int:
+        return int(self.rgba.shape[1])
+
+    @property
+    def height(self) -> int:
+        return int(self.rgba.shape[0])
+
+
+def _iter_chunks(data: bytes):
+    pos = len(PNG_SIGNATURE)
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        name = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise PngDecodeError("truncated chunk")
+        expect = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        actual = zlib.crc32(name + body) & 0xFFFFFFFF
+        if expect[0] != actual:
+            raise PngDecodeError(f"bad CRC in {name!r}")
+        yield name, body
+        pos += 12 + length
+        if name == b"IEND":
+            return
+    raise PngDecodeError("missing IEND")
+
+
+def _bits_to_samples(raw: np.ndarray, bit_depth: int, count: int) -> np.ndarray:
+    """Unpack a row of packed samples (bit_depth in 1,2,4,8,16) to int32 values."""
+    if bit_depth == 8:
+        return raw[:count].astype(np.int32)
+    if bit_depth == 16:
+        return ((raw[0 : 2 * count : 2].astype(np.int32) << 8) | raw[1 : 2 * count : 2]).astype(np.int32)
+    # packed small depths
+    per_byte = 8 // bit_depth
+    bits = np.unpackbits(raw)
+    bits = bits[: (len(raw) * 8)].reshape(-1, bit_depth)
+    vals = np.zeros(len(bits), dtype=np.int32)
+    for i in range(bit_depth):
+        vals = (vals << 1) | bits[:, i]
+    del per_byte
+    return vals[:count]
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp_bytes: int, rowbytes: int) -> np.ndarray:
+    """Undo PNG per-row filtering. Returns (height, rowbytes) uint8."""
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
+    stride = max(bpp_bytes, 1)
+    raw_arr = np.frombuffer(raw, dtype=np.uint8)
+    if len(raw_arr) < height * (rowbytes + 1):
+        raise PngDecodeError("IDAT too short")
+    rows = raw_arr[: height * (rowbytes + 1)].reshape(height, rowbytes + 1)
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if ftype == FILTER_NONE:
+            cur = line
+        elif ftype == FILTER_SUB:
+            cur = line.copy()
+            for x in range(stride, rowbytes):
+                cur[x] = (cur[x] + cur[x - stride]) & 0xFF
+        elif ftype == FILTER_UP:
+            cur = (line + prev) & 0xFF
+        elif ftype == FILTER_AVG:
+            cur = line.copy()
+            for x in range(rowbytes):
+                left = cur[x - stride] if x >= stride else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == FILTER_PAETH:
+            cur = line.copy()
+            for x in range(rowbytes):
+                left = cur[x - stride] if x >= stride else 0
+                up = prev[x]
+                diag = prev[x - stride] if x >= stride else 0
+                p = left + up - diag
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - diag)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = diag
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise PngDecodeError(f"bad filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _samples_to_rgba(
+    samples: np.ndarray,  # (H, W, channels) int32 at native bit depth
+    color_type: int,
+    bit_depth: int,
+    palette: np.ndarray | None,
+    trns: bytes | None,
+) -> np.ndarray:
+    """Apply libpng's transform pipeline: expand -> strip16 -> gray_to_rgb -> filler."""
+    h, w = samples.shape[0], samples.shape[1]
+    if color_type == 3:  # palette
+        if palette is None:
+            raise PngDecodeError("palette image without PLTE")
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise PngDecodeError("palette index out of range")
+        rgb = palette[idx]  # (H, W, 3) uint8
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+        if trns is not None:
+            tr = np.frombuffer(trns, dtype=np.uint8)
+            pal_alpha = np.full(len(palette), 255, dtype=np.uint8)
+            pal_alpha[: len(tr)] = tr
+            alpha = pal_alpha[idx]
+        return np.dstack([rgb, alpha[..., None]])
+
+    maxval = (1 << bit_depth) - 1
+    if color_type == 0:  # gray
+        g = samples[:, :, 0]
+        alpha = np.full((h, w), maxval, dtype=np.int32)
+        if trns is not None and len(trns) >= 2:
+            (tg,) = struct.unpack(">H", trns[:2])
+            alpha = np.where(g == (tg & maxval), 0, maxval)
+        if bit_depth < 8:
+            g = g * (255 // maxval)
+            alpha = alpha * (255 // maxval)
+        elif bit_depth == 16:
+            g >>= 8
+            alpha >>= 8
+        g8 = g.astype(np.uint8)
+        a8 = alpha.astype(np.uint8)
+        return np.dstack([g8, g8, g8, a8])
+
+    if color_type == 4:  # gray+alpha (bit depth 8 or 16)
+        g, a = samples[:, :, 0], samples[:, :, 1]
+        if bit_depth == 16:
+            g, a = g >> 8, a >> 8
+        g8 = g.astype(np.uint8)
+        return np.dstack([g8, g8, g8, a.astype(np.uint8)])
+
+    if color_type == 2:  # RGB
+        rgb = samples
+        alpha = np.full((h, w), maxval, dtype=np.int32)
+        if trns is not None and len(trns) >= 6:
+            tr, tg, tb = struct.unpack(">HHH", trns[:6])
+            m = (rgb[:, :, 0] == (tr & maxval)) & (rgb[:, :, 1] == (tg & maxval)) & (rgb[:, :, 2] == (tb & maxval))
+            alpha = np.where(m, 0, maxval)
+        if bit_depth == 16:
+            rgb = rgb >> 8
+            alpha = alpha >> 8
+        return np.dstack([rgb.astype(np.uint8), alpha.astype(np.uint8)])
+
+    if color_type == 6:  # RGBA
+        px = samples
+        if bit_depth == 16:
+            px = px >> 8
+        return px.astype(np.uint8)
+
+    raise PngDecodeError(f"bad color type {color_type}")
+
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode(data: bytes, strip: bool = False) -> DecodedImage:
+    """Decode PNG bytes to a normalized 8-bit RGBA image (rwpng_read_image24)."""
+    if not data.startswith(PNG_SIGNATURE):
+        raise PngDecodeError("bad PNG signature")
+
+    width = height = bit_depth = color_type = interlace = None
+    palette: np.ndarray | None = None
+    trns: bytes | None = None
+    idat = bytearray()
+    kept: list[Chunk] = []
+    seen_idat = False
+    gamma = 0.45455
+    color_transform = COLOR_NONE
+    has_srgb = False
+    has_gama = False
+
+    for name, body in _iter_chunks(data):
+        if name == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif name == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif name == b"tRNS":
+            trns = body
+        elif name == b"IDAT":
+            idat += body
+            seen_idat = True
+        elif name == b"IEND":
+            break
+        elif name == b"sRGB":
+            has_srgb = True
+        elif name == b"gAMA":
+            (g,) = struct.unpack(">I", body)
+            if g:
+                gamma_candidate = g / 100000.0
+                has_gama = True
+                _pending_gamma = gamma_candidate
+        elif not strip and name not in _NEVER_KEPT:
+            # keep pHYs/iTXt/tEXt/zTXt and safe-to-copy unknown chunks
+            # (read_chunk_callback, rwpng.c:129-156)
+            safe_to_copy = bool(name[3] & 0x20)
+            if name in _KEPT_KNOWN or (name not in _CRITICAL and safe_to_copy):
+                kept.append(Chunk(name=name, data=body, location=8 if seen_idat else 1))
+
+    if width is None:
+        raise PngDecodeError("missing IHDR")
+    if width == 0 or height == 0:
+        raise PngDecodeError("zero-sized image")
+    channels = _CHANNELS.get(color_type)
+    if channels is None:
+        raise PngDecodeError(f"bad color type {color_type}")
+    if bit_depth not in (1, 2, 4, 8, 16) or (bit_depth < 8 and color_type not in (0, 3)):
+        raise PngDecodeError(f"bad bit depth {bit_depth}")
+
+    # gamma/sRGB bookkeeping (rwpng.c:258-275)
+    if has_srgb:
+        color_transform = COLOR_SRGB
+    elif has_gama:
+        g = _pending_gamma
+        if 0 < g <= 1.0:
+            gamma = g
+            color_transform = COLOR_GAMA_ONLY
+        else:
+            color_transform = COLOR_NONE
+    else:
+        # libpng: png_get_gAMA leaves gamma at default; reference then tags
+        # GAMA_ONLY because 0.45455 passes the range check (rwpng.c:264-268)
+        color_transform = COLOR_GAMA_ONLY
+
+    raw = zlib.decompress(bytes(idat))
+    sample_bits = bit_depth * channels
+
+    def read_subimage(buf: bytes, w: int, h: int) -> np.ndarray:
+        rowbytes = (w * sample_bits + 7) // 8
+        bpp_bytes = max(sample_bits // 8, 1)
+        unf = _unfilter(buf, w, h, bpp_bytes, rowbytes)
+        out = np.zeros((h, w, channels), dtype=np.int32)
+        for y in range(h):
+            vals = _bits_to_samples(unf[y], bit_depth, w * channels)
+            out[y] = vals.reshape(w, channels)
+        return out
+
+    if interlace == 0:
+        samples = read_subimage(raw, width, height)
+    elif interlace == 1:
+        samples = np.zeros((height, width, channels), dtype=np.int32)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            w = (width - x0 + dx - 1) // dx
+            h = (height - y0 + dy - 1) // dy
+            if w == 0 or h == 0:
+                continue
+            rowbytes = (w * sample_bits + 7) // 8
+            nbytes = h * (rowbytes + 1)
+            sub = read_subimage(raw[pos : pos + nbytes], w, h)
+            pos += nbytes
+            samples[y0::dy, x0::dx] = sub
+        del pos
+    else:
+        raise PngDecodeError(f"bad interlace method {interlace}")
+
+    rgba = _samples_to_rgba(samples, color_type, bit_depth, palette, trns)
+    return DecodedImage(
+        rgba=np.ascontiguousarray(rgba),
+        gamma=gamma,
+        color_transform=color_transform,
+        chunks=kept,
+        file_size=len(data),
+    )
+
+
+def scanline_filters(data: bytes) -> np.ndarray:
+    """Return the per-scanline filter ids of a non-interlaced PNG (inspection
+    helper used by tests to compare filter decisions against the C tool)."""
+    if not data.startswith(PNG_SIGNATURE):
+        raise PngDecodeError("bad PNG signature")
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    for name, body in _iter_chunks(data):
+        if name == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(">IIBBBBB", body)
+            if interlace != 0:
+                raise PngDecodeError("interlaced")
+        elif name == b"IDAT":
+            idat += body
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    rowbytes = (width * bit_depth * _CHANNELS[color_type] + 7) // 8
+    return raw[: height * (rowbytes + 1)].reshape(height, rowbytes + 1)[:, 0].copy()
+
+
+# ---------------------------------------------------------------------------
+# Encoding
+# ---------------------------------------------------------------------------
+
+def detect_colorspace(rgba: np.ndarray) -> tuple[bool, bool]:
+    """(grayscale, strip_alpha) detection, as rwpng.c:557-573 / pngloss_image.c:64-80."""
+    grayscale = bool(
+        np.all(rgba[:, :, 0] == rgba[:, :, 1]) and np.all(rgba[:, :, 1] == rgba[:, :, 2])
+    )
+    strip_alpha = bool(np.all(rgba[:, :, 3] == 255))
+    return grayscale, strip_alpha
+
+
+def pack_pixels(rgba: np.ndarray, grayscale: bool, strip_alpha: bool) -> tuple[np.ndarray, int]:
+    """Pack RGBA to the output scanline format. Returns (rows (H,W,C) uint8, color_type)."""
+    if grayscale:
+        # green carries luminance (rwpng.c:587)
+        if strip_alpha:
+            return rgba[:, :, 1:2].copy(), 0
+        return rgba[:, :, (1, 3)].copy(), 4
+    if strip_alpha:
+        return rgba[:, :, :3].copy(), 2
+    return rgba.copy(), 6
+
+
+def apply_filter(prev_row: np.ndarray | None, row: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
+    """Apply PNG filter `ftype` to a scanline. row: (rowbytes,) uint8."""
+    cur = row.astype(np.int32)
+    up = prev_row.astype(np.int32) if prev_row is not None else np.zeros_like(cur)
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    diag = np.zeros_like(cur)
+    diag[bpp:] = up[:-bpp]
+    if ftype == FILTER_NONE:
+        out = cur
+    elif ftype == FILTER_SUB:
+        out = cur - left
+    elif ftype == FILTER_UP:
+        out = cur - up
+    elif ftype == FILTER_AVG:
+        out = cur - ((left + up) >> 1)
+    elif ftype == FILTER_PAETH:
+        p = left + up - diag
+        pa = np.abs(p - left)
+        pb = np.abs(p - up)
+        pc = np.abs(p - diag)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, diag))
+        out = cur - pred
+    else:
+        raise ValueError(f"bad filter {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def msad_filter_choice(prev_row: np.ndarray | None, row: np.ndarray, bpp: int) -> int:
+    """libpng's minimum-sum-of-absolute-differences filter heuristic.
+
+    Matches png_write_find_filter with PNG_ALL_FILTERS: for each candidate the
+    score is sum over filtered bytes v of (v < 128 ? v : 256 - v); candidates
+    are evaluated in order none, sub, up, avg, paeth and a strictly smaller sum
+    is required to replace the current best. This is the same cascade as the
+    reference's adaptive_filter_for_rows (optimize_state.c:492-562).
+    """
+    # when the row is a single pixel (rowbytes <= bpp) libpng only considers
+    # NONE and UP; SUB/AVG/PAETH are never produced (verified empirically
+    # against libpng 1.6 — see tests/test_codec.py width-1 cases)
+    candidates = (FILTER_NONE, FILTER_UP) if len(row) <= bpp else range(5)
+    best, best_sum = FILTER_NONE, None
+    for f in candidates:
+        filtered = apply_filter(prev_row, row, f, bpp).astype(np.int32)
+        s = int(np.where(filtered < 128, filtered, 256 - filtered).sum())
+        if best_sum is None or s < best_sum:
+            best, best_sum = f, s
+    return best
+
+
+def encode(
+    rgba: np.ndarray,
+    row_filters: np.ndarray | list[int] | None = None,
+    gamma: float = 0.45455,
+    color_transform: str = COLOR_GAMA_ONLY,
+    chunks: list[Chunk] | None = None,
+    maximum_file_size: int = 0,
+) -> bytes:
+    """Encode RGBA8 + per-row filter choices to PNG bytes (rwpng_write_image24).
+
+    row_filters holds one PNG filter id (0..4) per row, or None to choose every
+    row adaptively. Row 0 is ALWAYS chosen adaptively (PNG spec section 5.9;
+    rwpng.c:488-495 passes PNG_ALL_FILTERS for row 0).
+    """
+    h, w = rgba.shape[0], rgba.shape[1]
+    grayscale, strip_alpha = detect_colorspace(rgba)
+    rows, color_type = pack_pixels(rgba, grayscale, strip_alpha)
+    bpp = rows.shape[2]
+    flat = rows.reshape(h, w * bpp)
+
+    out = bytearray(PNG_SIGNATURE)
+
+    def put_chunk(name: bytes, body: bytes):
+        out.extend(struct.pack(">I", len(body)))
+        out.extend(name)
+        out.extend(body)
+        out.extend(struct.pack(">I", zlib.crc32(name + body) & 0xFFFFFFFF))
+
+    put_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+
+    # gamma/sRGB chunks (rwpng_set_gamma, rwpng.c:505-513)
+    if color_transform not in (COLOR_GAMA_ONLY, COLOR_NONE):
+        put_chunk(b"gAMA", struct.pack(">I", int(round(gamma * 100000))))
+    if color_transform == COLOR_SRGB:
+        put_chunk(b"sRGB", b"\x00")
+
+    for ch in chunks or ():
+        if ch.location != 8:
+            put_chunk(ch.name, ch.data)
+
+    # filter + deflate; libpng's defaults are level 9 via the reference's
+    # png_set_compression_level, memLevel 9, and strategy Z_FILTERED
+    # (libpng's PNG_Z_DEFAULT_STRATEGY when row filtering is in use).
+    comp = zlib.compressobj(9, zlib.DEFLATED, 15, 9, zlib.Z_FILTERED)
+    stream = bytearray()
+    prev = None
+    for y in range(h):
+        if y == 0 or row_filters is None:
+            f = msad_filter_choice(prev, flat[y], bpp)
+        else:
+            f = int(row_filters[y])
+            if w * bpp <= bpp and f in (FILTER_SUB, FILTER_AVG, FILTER_PAETH):
+                # libpng ignores forced SUB/AVG/PAETH on single-pixel rows
+                f = FILTER_NONE
+        filtered = apply_filter(prev, flat[y], f, bpp)
+        stream.extend(comp.compress(bytes([f]) + filtered.tobytes()))
+        prev = flat[y]
+    stream.extend(comp.flush())
+
+    # libpng rewrites the zlib header to claim the smallest deflate window
+    # that covers the scanline data (optimize_cmf in pngwutil.c) — the deflate
+    # bytes themselves are unaffected because the data fits in any window.
+    data_size = h * (w * bpp + 1)
+    if data_size <= 16384 and (stream[0] & 0x0F) == 8 and (stream[0] & 0xF0) <= 0x70:
+        z_cinfo = stream[0] >> 4
+        half = 1 << (z_cinfo + 7)
+        if data_size <= half:
+            while True:
+                half >>= 1
+                z_cinfo -= 1
+                if not (z_cinfo > 0 and data_size <= half):
+                    break
+            cmf = (stream[0] & 0x0F) | (z_cinfo << 4)
+            stream[0] = cmf
+            tmp = stream[1] & 0xE0
+            tmp += 0x1F - ((cmf << 8) + tmp) % 0x1F
+            stream[1] = tmp
+
+    # 8192-byte IDAT chunks, like libpng's default zbuffer flushing
+    for i in range(0, len(stream), 8192):
+        put_chunk(b"IDAT", bytes(stream[i : i + 8192]))
+
+    for ch in chunks or ():
+        if ch.location == 8:
+            put_chunk(ch.name, ch.data)
+
+    put_chunk(b"IEND", b"")
+
+    if maximum_file_size and len(out) > maximum_file_size:
+        raise TooLargeFile(f"{len(out)} > {maximum_file_size}")
+    return bytes(out)
