@@ -10,10 +10,15 @@ import subprocess
 import sys
 
 if not os.environ.get("PNGLOSS_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # The image's sitecustomize force-registers the 'axon' TPU-tunnel platform
+    # and overrides JAX_PLATFORMS from the environment, so the env var alone is
+    # not enough — select the CPU backend through jax.config after import.
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
