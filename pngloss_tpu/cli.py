@@ -1,0 +1,322 @@
+"""pngloss-compatible command line driver.
+
+Option surface, validation, exit codes, output naming, overwrite guard,
+atomic writes, stdin/stdout modes and verbose reporting mirror the reference
+CLI (pngloss.c:94-225, pngloss_opts.c:38-138, rwpng.h:23-38) on top of the
+TPU pipeline.
+"""
+
+from __future__ import annotations
+
+import getopt
+import io
+import os
+import sys
+import tempfile
+
+from pngloss_tpu import codec
+from pngloss_tpu.version import __version__
+
+# pngloss_error (rwpng.h:23-38) — enum values double as process exit codes
+SUCCESS = 0
+MISSING_ARGUMENT = 1
+READ_ERROR = 2
+INVALID_ARGUMENT = 4
+NOT_OVERWRITING_ERROR = 15
+CANT_WRITE_ERROR = 16
+OUT_OF_MEMORY_ERROR = 17
+PNG_OUT_OF_MEMORY_ERROR = 24
+LIBPNG_FATAL_ERROR = 25
+WRONG_INPUT_COLOR_TYPE = 26
+LIBPNG_INIT_ERROR = 35
+TOO_LARGE_FILE = 98
+TOO_LOW_QUALITY = 99
+
+USAGE = """\
+usage:  pngloss [options] [ -o output.png ] input.png
+        pngloss [options] [ --ext suffix.png ] input.png ...
+        pngloss [options] - < input.png > output.png
+
+options:
+  -s, --strength N   amount of quantization noise to add, 0-255 (default 19)
+  -b, --bleed N      divisor of error diffusion, 1-32767 (default 2)
+  -f, --force        overwrite existing output files
+      --no-force     do not overwrite existing output files
+      --ext new.png  set custom suffix/extension for output filenames
+  -o, --output file  destination file path (single input only)
+      --skip-if-larger  only save converted file if it is smaller than input
+      --strip        remove optional metadata (default on Mac)
+  -v, --verbose      print status messages
+  -q, --quiet        don't print status messages
+  -V, --version      print version number
+  -h, --help         display this help and exit
+"""
+
+_LONG_OPTS = [
+    "verbose", "quiet", "force", "no-force", "ext=", "skip-if-larger",
+    "output=", "strip", "version", "help", "strength=", "bleed=",
+]
+
+
+class Options:
+    def __init__(self):
+        self.strength = 19
+        self.bleed_divider = 2
+        self.extension: str | None = None
+        self.output_file_path: str | None = None
+        self.files: list[str] = []
+        self.using_stdin = False
+        self.using_stdout = False
+        self.force = False
+        self.skip_if_larger = False
+        self.strip = False
+        self.print_help = False
+        self.print_version = False
+        self.missing_arguments = False
+        self.verbose = False
+
+
+def parse_options(argv: list[str]) -> tuple[Options, int]:
+    """pngloss_parse_options (pngloss_opts.c:38-138)."""
+    o = Options()
+    try:
+        opts, args = getopt.gnu_getopt(
+            argv, "vqfo:Vhs:b:", _LONG_OPTS)
+    except getopt.GetoptError as e:
+        print(e, file=sys.stderr)
+        return o, INVALID_ARGUMENT
+
+    for flag, val in opts:
+        if flag in ("-v", "--verbose"):
+            o.verbose = True
+        elif flag in ("-q", "--quiet"):
+            o.verbose = False
+        elif flag in ("-f", "--force"):
+            o.force = True
+        elif flag == "--no-force":
+            o.force = False
+        elif flag == "--ext":
+            o.extension = val
+        elif flag in ("-o", "--output"):
+            if o.output_file_path:
+                print("--output option can be used only once", file=sys.stderr)
+                return o, INVALID_ARGUMENT
+            if val == "-":
+                o.using_stdout = True
+            else:
+                o.output_file_path = val
+        elif flag == "--skip-if-larger":
+            o.skip_if_larger = True
+        elif flag == "--strip":
+            o.strip = True
+        elif flag in ("-h", "--help"):
+            o.print_help = True
+        elif flag in ("-V", "--version"):
+            o.print_version = True
+        elif flag in ("-s", "--strength"):
+            if not val.isdigit():
+                print("-s, --strength requires a numeric argument", file=sys.stderr)
+                return o, INVALID_ARGUMENT
+            o.strength = int(val)
+        elif flag in ("-b", "--bleed"):
+            if not val.isdigit():
+                print("-b, --bleed requires a numeric argument", file=sys.stderr)
+                return o, INVALID_ARGUMENT
+            o.bleed_divider = int(val)
+
+    if args:
+        if len(args) == 1 and args[0] == "-":
+            o.using_stdin = True
+            o.using_stdout = o.output_file_path is None or o.using_stdout
+        o.files = args
+    elif len(argv) == 0:
+        o.missing_arguments = True
+    return o, SUCCESS
+
+
+def add_filename_extension(filename: str, newext: str) -> str:
+    """Insert the suffix before a trailing .png, else append (pngloss.c:319)."""
+    if filename.lower().endswith(".png"):
+        return filename[:-4] + newext
+    return filename + newext
+
+
+def _write_atomic(outname: str, data: bytes) -> int:
+    """Atomic write via temp file + rename (pngloss.c:392-423)."""
+    d = os.path.dirname(outname) or "."
+    try:
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, outname)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except Exception:
+            pass
+        return CANT_WRITE_ERROR
+    return SUCCESS
+
+
+def _compress_one(data: bytes, opts: Options, verbose_name: str,
+                  mesh=None) -> tuple[bytes | None, bytes | None, int]:
+    """Read/optimize/encode one file's bytes. Returns
+    (output_bytes, fallback_original_bytes, retval)."""
+    from pngloss_tpu import pipeline  # deferred: keep -h/-V JAX-free
+
+    try:
+        img = codec.decode(data, strip=opts.strip)
+    except codec.PngDecodeError:
+        return None, None, READ_ERROR
+
+    if opts.verbose:
+        print(f"  read {(len(data) + 500) // 1000}KB file", file=sys.stderr)
+        if img.gamma != 0.45455:
+            print(f"  converted image from gamma {1.0 / img.gamma:2.1f}"
+                  " to gamma 2.2", file=sys.stderr)
+
+    q, filters = pipeline.optimize_rgba(
+        img.rgba, opts.strength, opts.bleed_divider, mesh=mesh)
+
+    max_size = len(data) - 1 if opts.skip_if_larger else 0
+    try:
+        out = codec.encode(
+            q, row_filters=filters, gamma=img.gamma,
+            color_transform=img.color_transform, chunks=img.chunks,
+            maximum_file_size=max_size)
+    except codec.TooLargeFile as e:
+        if opts.verbose:
+            kb = (max_size + 500) // 1000
+            print(f"  file exceeded maximum size of {kb}KB", file=sys.stderr)
+        # In stdout mode the reference has already streamed the oversized
+        # attempt (the size check runs after writing, rwpng.c:631-633) and
+        # then appends the original 24-bit image (pngloss.c:290-297).
+        fallback = None
+        if opts.using_stdout:
+            fallback = e.data + codec.encode(
+                img.rgba, row_filters=None, gamma=img.gamma,
+                color_transform=img.color_transform, chunks=img.chunks)
+        return None, fallback, TOO_LARGE_FILE
+
+    if opts.verbose:
+        kb = (len(out) + 500) // 1000
+        percent = 100.0 * len(out) / len(data)
+        print(f"  wrote {kb}KB file ({percent:.1f}% of original)", file=sys.stderr)
+        meta = sum(len(c.data) + 12 for c in img.chunks)
+        if meta > 0:
+            print(f"  copied {(meta + 500) // 1000}KB of additional PNG metadata",
+                  file=sys.stderr)
+    return out, None, SUCCESS
+
+
+def run(argv: list[str], stdin: io.RawIOBase | None = None,
+        stdout: io.RawIOBase | None = None, mesh=None) -> int:
+    """main() (pngloss.c:94-163). Returns the process exit code."""
+    opts, retval = parse_options(argv)
+    if retval != SUCCESS:
+        return retval
+
+    if opts.print_version:
+        print(__version__)
+        return SUCCESS
+
+    if opts.missing_arguments:
+        print(USAGE, file=sys.stderr, end="")
+        return MISSING_ARGUMENT
+
+    if opts.print_help:
+        print(f"pngloss-tpu {__version__}")
+        print(USAGE, end="")
+        return SUCCESS
+
+    if opts.strength > 255:
+        print("Must specify a strength in the range 0-255.", file=sys.stderr)
+        return INVALID_ARGUMENT
+    if not 1 <= opts.bleed_divider <= 32767:
+        print("Must specify a bleed divider in the range 1-32767.", file=sys.stderr)
+        return INVALID_ARGUMENT
+    if opts.extension and opts.output_file_path:
+        print("--ext and --output options can't be used at the same time",
+              file=sys.stderr)
+        return INVALID_ARGUMENT
+    if opts.extension is None:
+        opts.extension = "-loss.png"
+    if opts.output_file_path and len(opts.files) != 1:
+        print("  error: Only one input file is allowed when --output is used."
+              " This error also happens when filenames with spaces are not in quotes.",
+              file=sys.stderr)
+        return INVALID_ARGUMENT
+    if opts.using_stdout and not opts.using_stdin and len(opts.files) != 1:
+        print("  error: Only one input file is allowed when using the special"
+              " output path \"-\" to write to stdout. This error also happens"
+              " when filenames with spaces are not in quotes.", file=sys.stderr)
+        return INVALID_ARGUMENT
+    if not opts.files and not opts.using_stdin:
+        print("No input files specified.", file=sys.stderr)
+        print(USAGE, file=sys.stderr, end="")
+        return MISSING_ARGUMENT
+
+    stdin = stdin if stdin is not None else sys.stdin.buffer
+    stdout = stdout if stdout is not None else sys.stdout.buffer
+
+    # pngloss_main_internal (pngloss.c:168-224)
+    error_count = skipped_count = file_count = 0
+    latest_error = SUCCESS
+    for filename in opts.files:
+        display = "stdin" if opts.using_stdin else filename
+        retval = SUCCESS
+        outname = opts.output_file_path
+        if not opts.using_stdout:
+            if not outname:
+                outname = add_filename_extension(filename, opts.extension)
+            if not opts.force and os.path.exists(outname):
+                print(f"  error: '{outname}' exists; not overwriting", file=sys.stderr)
+                retval = NOT_OVERWRITING_ERROR
+
+        if retval == SUCCESS:
+            if opts.verbose:
+                print(f"{display}:", file=sys.stderr)
+            try:
+                data = stdin.read() if opts.using_stdin else open(filename, "rb").read()
+            except OSError:
+                retval = READ_ERROR
+                data = None
+            if retval == SUCCESS:
+                out, fallback, retval = _compress_one(data, opts, display, mesh=mesh)
+                if retval == SUCCESS:
+                    if opts.using_stdout:
+                        stdout.write(out)
+                    else:
+                        retval = _write_atomic(outname, out)
+                elif fallback is not None:
+                    stdout.write(fallback)
+
+        if retval != SUCCESS:
+            latest_error = retval
+            if retval in (TOO_LOW_QUALITY, TOO_LARGE_FILE):
+                skipped_count += 1
+            else:
+                error_count += 1
+        file_count += 1
+
+    if opts.verbose:
+        s = lambda n: "" if n == 1 else "s"
+        if error_count:
+            print(f"There were errors compressing {error_count} file{s(error_count)}"
+                  f" out of a total of {file_count} file{s(file_count)}.",
+                  file=sys.stderr)
+        if skipped_count:
+            print(f"Skipped {skipped_count} file{s(skipped_count)} out of a total"
+                  f" of {file_count} file{s(file_count)}.", file=sys.stderr)
+        if not skipped_count and not error_count:
+            print(f"Compressed {file_count} image{s(file_count)}.", file=sys.stderr)
+
+    return latest_error
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

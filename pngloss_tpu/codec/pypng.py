@@ -74,7 +74,16 @@ class PngDecodeError(ValueError):
 
 
 class TooLargeFile(Exception):
-    """Output exceeded maximum_file_size (exit code 98 in the CLI)."""
+    """Output exceeded maximum_file_size (exit code 98 in the CLI).
+
+    `data` carries the complete encoded bytes: the reference checks the size
+    only after everything is written (rwpng.c:631-633), so in stdout mode the
+    whole oversized attempt still reaches the output (pngloss.c:290-297).
+    """
+
+    def __init__(self, msg: str, data: bytes = b""):
+        super().__init__(msg)
+        self.data = data
 
 
 @dataclass
@@ -550,5 +559,5 @@ def encode(
     put_chunk(b"IEND", b"")
 
     if maximum_file_size and len(out) > maximum_file_size:
-        raise TooLargeFile(f"{len(out)} > {maximum_file_size}")
+        raise TooLargeFile(f"{len(out)} > {maximum_file_size}", bytes(out))
     return bytes(out)

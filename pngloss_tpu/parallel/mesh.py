@@ -1,0 +1,60 @@
+"""Device-mesh distribution for the optimizer.
+
+The reference tool is strictly single-process/single-threaded
+(SURVEY.md §2.4 — pngloss.c:173-205 processes files one at a time). The
+TPU-native distribution model is pure data parallelism over the image batch:
+every image's row recurrence is independent, so the batch axis shards over a
+1-D `jax.sharding.Mesh` with no cross-device communication in the compute
+path at all — XLA lays each shard's scan out locally, and the only
+collective anywhere is the implicit all-gather when results are fetched.
+
+Scaling to a v5e-8 slice (or larger) is therefore ICI-neutral by design;
+DCN would only appear past one slice, by nesting this mesh inside a
+('dcn', 'data') mesh — the entry points accept any 1-D mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pngloss_tpu.ops.optimize import optimize_batch
+
+BATCH_AXIS = "data"
+
+
+def data_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def optimize_batch_sharded(rows: np.ndarray, strength: int, bleed: int = 2, *,
+                           bpp: int, use_row_filters: bool = True,
+                           mesh: Mesh | None = None):
+    """optimize_batch with the batch axis sharded over a device mesh.
+
+    rows: (B, H, W*bpp) uint8 host array. B is padded up to a multiple of the
+    mesh size with copies of row 0 (images are independent, padding results
+    are discarded). Returns host numpy arrays ((B,H,W*bpp) uint8, (B,H) int8).
+    """
+    if mesh is None:
+        mesh = data_mesh()
+    n_dev = mesh.devices.size
+    b = rows.shape[0]
+    b_pad = pad_to_multiple(b, n_dev)
+    if b_pad != b:
+        rows = np.concatenate(
+            [rows, np.broadcast_to(rows[:1], (b_pad - b,) + rows.shape[1:])])
+    sharding = NamedSharding(mesh, P(BATCH_AXIS))
+    rows_dev = jax.device_put(rows, sharding)
+    q, filters = optimize_batch(
+        rows_dev, strength, bleed, bpp=bpp, use_row_filters=use_row_filters)
+    return np.asarray(q)[:b], np.asarray(filters)[:b]

@@ -1,0 +1,75 @@
+"""Pipeline-level tests: bucketing, sharding, batched compression."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pngloss_tpu.core import reference as ref
+from pngloss_tpu.parallel import data_mesh, optimize_batch_sharded
+from pngloss_tpu.pipeline import (
+    compress_many,
+    optimize_rgba_batch,
+    reduce_colorspace,
+    restore_colorspace,
+)
+
+
+def _rand_rgba(rng, h, w, kind):
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    if kind in ("gray", "gray_alpha"):
+        rgba[:, :, 0] = rgba[:, :, 1]
+        rgba[:, :, 2] = rgba[:, :, 1]
+    if kind in ("gray", "rgb"):
+        rgba[:, :, 3] = 255
+    return rgba
+
+
+def test_reduce_restore_roundtrip():
+    rng = np.random.default_rng(0)
+    for kind, bpp in [("gray", 1), ("gray_alpha", 2), ("rgb", 3), ("rgba", 4)]:
+        rgba = _rand_rgba(rng, 5, 6, kind)
+        work, got_bpp = reduce_colorspace(rgba)
+        assert got_bpp == bpp
+        assert np.array_equal(restore_colorspace(work, bpp, 6), rgba)
+
+
+def test_bucketed_batch_matches_scalar_model():
+    rng = np.random.default_rng(1)
+    imgs = [
+        _rand_rgba(rng, 5, 6, "rgb"),
+        _rand_rgba(rng, 4, 7, "gray"),
+        _rand_rgba(rng, 5, 6, "rgb"),   # same bucket as imgs[0]
+        _rand_rgba(rng, 5, 6, "rgba"),  # same HxW, different bpp bucket
+    ]
+    qs, fs = optimize_rgba_batch(imgs, strength=19)
+    for img, q, f in zip(imgs, qs, fs):
+        q_ref, f_ref = ref.optimize_rgba(img, 19)
+        np.testing.assert_array_equal(q, q_ref)
+        np.testing.assert_array_equal(f, f_ref)
+
+
+def test_sharded_equals_unsharded():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(2)
+    rows = rng.integers(0, 256, size=(5, 4, 6 * 3), dtype=np.uint8)  # 5 !% 8
+    mesh = data_mesh()
+    q_sh, f_sh = optimize_batch_sharded(rows, 19, bpp=3, mesh=mesh)
+    from pngloss_tpu.ops.optimize import optimize_batch
+    q, f = optimize_batch(rows, 19, bpp=3)
+    np.testing.assert_array_equal(q_sh, np.asarray(q))
+    np.testing.assert_array_equal(f_sh, np.asarray(f))
+
+
+def test_compress_many_mixed_with_errors(oracle, suite_dir):
+    import subprocess
+    rose = open(f"{suite_dir}/rose.png", "rb").read()
+    results = compress_many([rose, b"not a png", rose], strength=19)
+    assert results[1].error is not None
+    ref_out = subprocess.run([oracle, "-f", "-s", "19", "-b", "2", "-"],
+                             input=rose, capture_output=True).stdout
+    assert results[0].data == ref_out
+    assert results[2].data == ref_out
+    assert results[0].input_size == len(rose)
+    assert results[0].output_size == len(ref_out)
