@@ -1,0 +1,732 @@
+// Native host codec for pngloss-tpu: PNG decode to normalized RGBA8 and
+// encode from pixels + per-row filter ids, built directly on zlib.
+//
+// This replaces the reference's libpng wrapper (rwpng.c) with a standalone
+// implementation whose byte-level behavior matches both the reference tool
+// and the pure-Python codec (pngloss_tpu/codec/pypng.py) exactly:
+//   * decode normalizations: palette expand (+tRNS alpha), sub-8-bit gray
+//     expansion, 16->8 bit strip, gray->RGB replication, opaque filler
+//     alpha, Adam7 de-interlacing (rwpng.c:238-277 behavior)
+//   * ancillary chunk keep/strip rules (read_chunk_callback, rwpng.c:129-156)
+//   * gamma/sRGB bookkeeping (rwpng.c:258-275)
+//   * encode: gray/alpha re-detection (rwpng.c:557-573), packing
+//     (rwpng.c:576-624), per-row forced filters with row 0 adaptive
+//     (rwpng.c:488-495), deflate level 9 / memLevel 9 / Z_FILTERED,
+//     8192-byte IDAT chunking, and libpng's optimize_cmf window rewrite
+//   * maximum_file_size checked only after the full encode (rwpng.c:631-633)
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint8_t kSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+
+thread_local std::string g_error;
+
+enum PlStatus {
+  PL_OK = 0,
+  PL_DECODE_ERROR = 2,   // == READ_ERROR exit code
+  PL_TOO_LARGE = 98,     // == TOO_LARGE_FILE
+  PL_BAD_ARGS = 4,
+};
+
+int fail(const std::string& msg) {
+  g_error = msg;
+  return PL_DECODE_ERROR;
+}
+
+uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+void put_be32(std::vector<uint8_t>& out, uint32_t v) {
+  out.push_back(uint8_t(v >> 24));
+  out.push_back(uint8_t(v >> 16));
+  out.push_back(uint8_t(v >> 8));
+  out.push_back(uint8_t(v));
+}
+
+// ---------------------------------------------------------------------------
+// Chunk blob interchange with Python:
+//   repeated records of [u32le data_len][4 bytes name][u8 location][data]
+// ---------------------------------------------------------------------------
+
+struct KeptChunk {
+  char name[4];
+  uint8_t location;  // 1 = before IDAT, 8 = after IDAT
+  std::vector<uint8_t> data;
+};
+
+void serialize_chunks(const std::vector<KeptChunk>& chunks,
+                      std::vector<uint8_t>& blob) {
+  for (const auto& c : chunks) {
+    uint32_t n = uint32_t(c.data.size());
+    blob.push_back(uint8_t(n));
+    blob.push_back(uint8_t(n >> 8));
+    blob.push_back(uint8_t(n >> 16));
+    blob.push_back(uint8_t(n >> 24));
+    blob.insert(blob.end(), c.name, c.name + 4);
+    blob.push_back(c.location);
+    blob.insert(blob.end(), c.data.begin(), c.data.end());
+  }
+}
+
+bool parse_chunks(const uint8_t* blob, size_t len, std::vector<KeptChunk>* out) {
+  size_t pos = 0;
+  while (pos < len) {
+    if (pos + 9 > len) return false;
+    uint32_t n = uint32_t(blob[pos]) | (uint32_t(blob[pos + 1]) << 8) |
+                 (uint32_t(blob[pos + 2]) << 16) | (uint32_t(blob[pos + 3]) << 24);
+    if (pos + 9 + n > len) return false;
+    KeptChunk c;
+    std::memcpy(c.name, blob + pos + 4, 4);
+    c.location = blob[pos + 8];
+    c.data.assign(blob + pos + 9, blob + pos + 9 + n);
+    out->push_back(std::move(c));
+    pos += 9 + n;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// zlib helpers
+// ---------------------------------------------------------------------------
+
+bool inflate_all(const std::vector<uint8_t>& in, std::vector<uint8_t>* out) {
+  z_stream zs{};
+  if (inflateInit(&zs) != Z_OK) return false;
+  out->clear();
+  out->reserve(in.size() * 4 + 64);
+  std::vector<uint8_t> buf(1 << 16);
+  zs.next_in = const_cast<uint8_t*>(in.data());
+  zs.avail_in = uInt(in.size());
+  int ret = Z_OK;
+  do {
+    zs.next_out = buf.data();
+    zs.avail_out = uInt(buf.size());
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return false;
+    }
+    out->insert(out->end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
+  } while (ret != Z_STREAM_END && (zs.avail_in > 0 || zs.avail_out == 0));
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END;
+}
+
+// ---------------------------------------------------------------------------
+// Decoding
+// ---------------------------------------------------------------------------
+
+const int kChannels[7] = {1, 0, 3, 1, 2, 0, 4};
+
+bool is_critical_set(const char* n) {
+  static const char* kSet[] = {"IHDR", "PLTE", "IDAT", "IEND", "tRNS",
+                               "sRGB", "bKGD", "hIST", "sBIT", "tIME"};
+  for (const char* s : kSet)
+    if (std::memcmp(n, s, 4) == 0) return true;
+  return false;
+}
+
+bool is_kept_known(const char* n) {
+  static const char* kSet[] = {"pHYs", "iTXt", "tEXt", "zTXt"};
+  for (const char* s : kSet)
+    if (std::memcmp(n, s, 4) == 0) return true;
+  return false;
+}
+
+bool is_never_kept(const char* n) {
+  static const char* kSet[] = {"iCCP", "cHRM", "gAMA"};
+  for (const char* s : kSet)
+    if (std::memcmp(n, s, 4) == 0) return true;
+  return false;
+}
+
+// Undo PNG per-row filtering in place over raw (h x (rowbytes+1)).
+bool unfilter(uint8_t* raw, size_t raw_len, uint32_t w, uint32_t h,
+              int bpp_bytes, size_t rowbytes, std::vector<uint8_t>* out) {
+  (void)w;
+  if (raw_len < size_t(h) * (rowbytes + 1)) {
+    return false;
+  }
+  out->assign(size_t(h) * rowbytes, 0);
+  const int stride = bpp_bytes < 1 ? 1 : bpp_bytes;
+  std::vector<uint8_t> zero(rowbytes, 0);
+  const uint8_t* prev = zero.data();
+  for (uint32_t y = 0; y < h; y++) {
+    const uint8_t* src = raw + size_t(y) * (rowbytes + 1);
+    uint8_t* cur = out->data() + size_t(y) * rowbytes;
+    int f = src[0];
+    const uint8_t* line = src + 1;
+    switch (f) {
+      case 0:
+        std::memcpy(cur, line, rowbytes);
+        break;
+      case 1:
+        for (size_t x = 0; x < rowbytes; x++) {
+          int left = x >= size_t(stride) ? cur[x - stride] : 0;
+          cur[x] = uint8_t(line[x] + left);
+        }
+        break;
+      case 2:
+        for (size_t x = 0; x < rowbytes; x++) cur[x] = uint8_t(line[x] + prev[x]);
+        break;
+      case 3:
+        for (size_t x = 0; x < rowbytes; x++) {
+          int left = x >= size_t(stride) ? cur[x - stride] : 0;
+          cur[x] = uint8_t(line[x] + ((left + prev[x]) >> 1));
+        }
+        break;
+      case 4:
+        for (size_t x = 0; x < rowbytes; x++) {
+          int left = x >= size_t(stride) ? cur[x - stride] : 0;
+          int up = prev[x];
+          int diag = x >= size_t(stride) ? prev[x - stride] : 0;
+          int p = left + up - diag;
+          int pa = std::abs(p - left), pb = std::abs(p - up), pc = std::abs(p - diag);
+          int pred = (pa <= pb && pa <= pc) ? left : (pb <= pc ? up : diag);
+          cur[x] = uint8_t(line[x] + pred);
+        }
+        break;
+      default:
+        return false;
+    }
+    prev = cur;
+  }
+  return true;
+}
+
+// Unpack one unfiltered row of packed samples to int32 values.
+void bits_to_samples(const uint8_t* row, int bit_depth, size_t count,
+                     int32_t* out) {
+  if (bit_depth == 8) {
+    for (size_t i = 0; i < count; i++) out[i] = row[i];
+  } else if (bit_depth == 16) {
+    for (size_t i = 0; i < count; i++)
+      out[i] = (int32_t(row[2 * i]) << 8) | row[2 * i + 1];
+  } else {
+    const int per_byte = 8 / bit_depth;
+    const int mask = (1 << bit_depth) - 1;
+    for (size_t i = 0; i < count; i++) {
+      size_t byte = i / per_byte;
+      int shift = 8 - bit_depth * (int(i % per_byte) + 1);
+      out[i] = (row[byte] >> shift) & mask;
+    }
+  }
+}
+
+struct Adam7Pass {
+  int x0, y0, dx, dy;
+};
+const Adam7Pass kAdam7[7] = {{0, 0, 8, 8}, {4, 0, 8, 8}, {0, 4, 4, 8},
+                             {2, 4, 4, 8}, {0, 2, 2, 4}, {1, 2, 2, 4},
+                             {0, 1, 1, 2}};
+
+}  // namespace
+
+extern "C" {
+
+const char* pl_last_error() { return g_error.c_str(); }
+void pl_free(void* p) { std::free(p); }
+
+// color_transform codes shared with Python: 0=none, 1=srgb, 2=gama_only
+int pl_decode(const uint8_t* data, size_t len, int strip,
+              uint8_t** out_rgba, uint32_t* out_w, uint32_t* out_h,
+              double* out_gamma, int* out_transform,
+              uint8_t** out_chunks, size_t* out_chunks_len) {
+  if (len < 8 || std::memcmp(data, kSig, 8) != 0) return fail("bad PNG signature");
+
+  uint32_t width = 0, height = 0;
+  int bit_depth = 0, color_type = -1, interlace = 0;
+  bool have_ihdr = false, seen_idat = false, seen_iend = false;
+  bool has_srgb = false, has_gama = false;
+  double pending_gamma = 0.0;
+  std::vector<uint8_t> palette, trns, idat;
+  std::vector<KeptChunk> kept;
+
+  size_t pos = 8;
+  while (pos + 8 <= len) {
+    uint32_t length = be32(data + pos);
+    const uint8_t* namep = data + pos + 4;
+    if (pos + 12 + size_t(length) > len) return fail("truncated chunk");
+    const uint8_t* body = data + pos + 8;
+    uint32_t expect = be32(data + pos + 8 + length);
+    uint32_t actual = crc32(crc32(0, namep, 4), body, length);
+    char name[5] = {char(namep[0]), char(namep[1]), char(namep[2]), char(namep[3]), 0};
+    if (expect != actual) return fail(std::string("bad CRC in ") + name);
+    pos += 12 + length;
+
+    if (std::memcmp(name, "IHDR", 4) == 0) {
+      if (length < 13) return fail("short IHDR");
+      width = be32(body);
+      height = be32(body + 4);
+      bit_depth = body[8];
+      color_type = body[9];
+      interlace = body[12];
+      have_ihdr = true;
+    } else if (std::memcmp(name, "PLTE", 4) == 0) {
+      palette.assign(body, body + length);
+    } else if (std::memcmp(name, "tRNS", 4) == 0) {
+      trns.assign(body, body + length);
+    } else if (std::memcmp(name, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), body, body + length);
+      seen_idat = true;
+    } else if (std::memcmp(name, "IEND", 4) == 0) {
+      seen_iend = true;
+      break;
+    } else if (std::memcmp(name, "sRGB", 4) == 0) {
+      has_srgb = true;
+    } else if (std::memcmp(name, "gAMA", 4) == 0) {
+      if (length >= 4) {
+        uint32_t g = be32(body);
+        if (g) {
+          pending_gamma = g / 100000.0;
+          has_gama = true;
+        }
+      }
+    } else if (!strip && !is_never_kept(name)) {
+      bool safe_to_copy = (name[3] & 0x20) != 0;
+      if (is_kept_known(name) || (!is_critical_set(name) && safe_to_copy)) {
+        KeptChunk c;
+        std::memcpy(c.name, name, 4);
+        c.location = seen_idat ? 8 : 1;
+        c.data.assign(body, body + length);
+        kept.push_back(std::move(c));
+      }
+    }
+  }
+  if (!seen_iend) return fail("missing IEND");
+  if (!have_ihdr) return fail("missing IHDR");
+  if (width == 0 || height == 0) return fail("zero-sized image");
+  if (color_type < 0 || color_type > 6 || kChannels[color_type] == 0)
+    return fail("bad color type");
+  int channels = kChannels[color_type];
+  bool depth_ok = bit_depth == 8 || bit_depth == 16 ||
+                  ((bit_depth == 1 || bit_depth == 2 || bit_depth == 4) &&
+                   (color_type == 0 || color_type == 3));
+  if (!depth_ok) return fail("bad bit depth");
+
+  // gamma/sRGB bookkeeping (rwpng.c:258-275)
+  double gamma = 0.45455;
+  int transform;
+  if (has_srgb) {
+    transform = 1;  // srgb
+  } else if (has_gama) {
+    if (pending_gamma > 0 && pending_gamma <= 1.0) {
+      gamma = pending_gamma;
+      transform = 2;  // gama_only
+    } else {
+      transform = 0;  // none
+    }
+  } else {
+    transform = 2;  // gama_only (default gamma passes the range check)
+  }
+
+  std::vector<uint8_t> raw;
+  if (!inflate_all(idat, &raw)) return fail("bad IDAT stream");
+
+  const int sample_bits = bit_depth * channels;
+  std::vector<int32_t> samples(size_t(width) * height * channels, 0);
+
+  auto read_subimage = [&](const uint8_t* buf, size_t buf_len, uint32_t w,
+                           uint32_t h, std::vector<int32_t>* sub) -> bool {
+    size_t rowbytes = (size_t(w) * sample_bits + 7) / 8;
+    int bpp_bytes = sample_bits / 8 < 1 ? 1 : sample_bits / 8;
+    std::vector<uint8_t> unf;
+    if (!unfilter(const_cast<uint8_t*>(buf), buf_len, w, h, bpp_bytes, rowbytes, &unf))
+      return false;
+    sub->assign(size_t(w) * h * channels, 0);
+    for (uint32_t y = 0; y < h; y++) {
+      bits_to_samples(unf.data() + size_t(y) * rowbytes, bit_depth,
+                      size_t(w) * channels, sub->data() + size_t(y) * w * channels);
+    }
+    return true;
+  };
+
+  if (interlace == 0) {
+    if (!read_subimage(raw.data(), raw.size(), width, height, &samples))
+      return fail("IDAT too short");
+  } else if (interlace == 1) {
+    size_t off = 0;
+    for (const auto& p : kAdam7) {
+      uint32_t w = (width > uint32_t(p.x0)) ? (width - p.x0 + p.dx - 1) / p.dx : 0;
+      uint32_t h = (height > uint32_t(p.y0)) ? (height - p.y0 + p.dy - 1) / p.dy : 0;
+      if (w == 0 || h == 0) continue;
+      size_t rowbytes = (size_t(w) * sample_bits + 7) / 8;
+      size_t nbytes = size_t(h) * (rowbytes + 1);
+      if (off + nbytes > raw.size()) return fail("IDAT too short");
+      std::vector<int32_t> sub;
+      if (!read_subimage(raw.data() + off, nbytes, w, h, &sub))
+        return fail("IDAT too short");
+      off += nbytes;
+      for (uint32_t y = 0; y < h; y++)
+        for (uint32_t x = 0; x < w; x++)
+          for (int c = 0; c < channels; c++)
+            samples[(size_t(p.y0 + y * p.dy) * width + (p.x0 + x * p.dx)) * channels + c] =
+                sub[(size_t(y) * w + x) * channels + c];
+    }
+  } else {
+    return fail("bad interlace method");
+  }
+
+  // samples -> normalized RGBA8
+  uint8_t* rgba = static_cast<uint8_t*>(std::malloc(size_t(width) * height * 4));
+  if (!rgba) return fail("out of memory");
+  const int maxval = (1 << bit_depth) - 1;
+
+  if (color_type == 3) {
+    size_t ncolors = palette.size() / 3;
+    if (ncolors == 0) {
+      std::free(rgba);
+      return fail("palette image without PLTE");
+    }
+    for (size_t i = 0; i < size_t(width) * height; i++) {
+      int32_t idx = samples[i];
+      if (size_t(idx) >= ncolors) {
+        std::free(rgba);
+        return fail("palette index out of range");
+      }
+      rgba[i * 4 + 0] = palette[idx * 3 + 0];
+      rgba[i * 4 + 1] = palette[idx * 3 + 1];
+      rgba[i * 4 + 2] = palette[idx * 3 + 2];
+      rgba[i * 4 + 3] = size_t(idx) < trns.size() ? trns[idx] : 255;
+    }
+  } else if (color_type == 0) {
+    int tg = -1;
+    if (trns.size() >= 2) tg = ((trns[0] << 8) | trns[1]) & maxval;
+    for (size_t i = 0; i < size_t(width) * height; i++) {
+      int32_t g = samples[i];
+      int32_t a = (tg >= 0 && g == tg) ? 0 : maxval;
+      if (bit_depth < 8) {
+        g *= 255 / maxval;
+        a *= 255 / maxval;
+      } else if (bit_depth == 16) {
+        g >>= 8;
+        a >>= 8;
+      }
+      rgba[i * 4 + 0] = rgba[i * 4 + 1] = rgba[i * 4 + 2] = uint8_t(g);
+      rgba[i * 4 + 3] = uint8_t(a);
+    }
+  } else if (color_type == 4) {
+    for (size_t i = 0; i < size_t(width) * height; i++) {
+      int32_t g = samples[i * 2], a = samples[i * 2 + 1];
+      if (bit_depth == 16) {
+        g >>= 8;
+        a >>= 8;
+      }
+      rgba[i * 4 + 0] = rgba[i * 4 + 1] = rgba[i * 4 + 2] = uint8_t(g);
+      rgba[i * 4 + 3] = uint8_t(a);
+    }
+  } else if (color_type == 2) {
+    int tr = -1, tg = -1, tb = -1;
+    if (trns.size() >= 6) {
+      tr = ((trns[0] << 8) | trns[1]) & maxval;
+      tg = ((trns[2] << 8) | trns[3]) & maxval;
+      tb = ((trns[4] << 8) | trns[5]) & maxval;
+    }
+    for (size_t i = 0; i < size_t(width) * height; i++) {
+      int32_t r = samples[i * 3], g = samples[i * 3 + 1], b = samples[i * 3 + 2];
+      int32_t a = (tr >= 0 && r == tr && g == tg && b == tb) ? 0 : maxval;
+      if (bit_depth == 16) {
+        r >>= 8;
+        g >>= 8;
+        b >>= 8;
+        a >>= 8;
+      }
+      rgba[i * 4 + 0] = uint8_t(r);
+      rgba[i * 4 + 1] = uint8_t(g);
+      rgba[i * 4 + 2] = uint8_t(b);
+      rgba[i * 4 + 3] = uint8_t(a);
+    }
+  } else {  // color_type == 6
+    for (size_t i = 0; i < size_t(width) * height; i++) {
+      for (int c = 0; c < 4; c++) {
+        int32_t v = samples[i * 4 + c];
+        if (bit_depth == 16) v >>= 8;
+        rgba[i * 4 + c] = uint8_t(v);
+      }
+    }
+  }
+
+  std::vector<uint8_t> blob;
+  serialize_chunks(kept, blob);
+  uint8_t* blob_out = nullptr;
+  if (!blob.empty()) {
+    blob_out = static_cast<uint8_t*>(std::malloc(blob.size()));
+    std::memcpy(blob_out, blob.data(), blob.size());
+  }
+
+  *out_rgba = rgba;
+  *out_w = width;
+  *out_h = height;
+  *out_gamma = gamma;
+  *out_transform = transform;
+  *out_chunks = blob_out;
+  *out_chunks_len = blob.size();
+  return PL_OK;
+}
+
+}  // extern "C"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Encoding
+// ---------------------------------------------------------------------------
+
+void apply_filter_row(const uint8_t* prev, const uint8_t* row, int f, int bpp,
+                      size_t rowbytes, uint8_t* out) {
+  switch (f) {
+    case 0:
+      std::memcpy(out, row, rowbytes);
+      break;
+    case 1:
+      for (size_t x = 0; x < rowbytes; x++) {
+        int left = x >= size_t(bpp) ? row[x - bpp] : 0;
+        out[x] = uint8_t(row[x] - left);
+      }
+      break;
+    case 2:
+      for (size_t x = 0; x < rowbytes; x++) {
+        int up = prev ? prev[x] : 0;
+        out[x] = uint8_t(row[x] - up);
+      }
+      break;
+    case 3:
+      for (size_t x = 0; x < rowbytes; x++) {
+        int left = x >= size_t(bpp) ? row[x - bpp] : 0;
+        int up = prev ? prev[x] : 0;
+        out[x] = uint8_t(row[x] - ((left + up) >> 1));
+      }
+      break;
+    default:
+      for (size_t x = 0; x < rowbytes; x++) {
+        int left = x >= size_t(bpp) ? row[x - bpp] : 0;
+        int up = prev ? prev[x] : 0;
+        int diag = (prev && x >= size_t(bpp)) ? prev[x - bpp] : 0;
+        int p = left + up - diag;
+        int pa = std::abs(p - left), pb = std::abs(p - up), pc = std::abs(p - diag);
+        int pred = (pa <= pb && pa <= pc) ? left : (pb <= pc ? up : diag);
+        out[x] = uint8_t(row[x] - pred);
+      }
+      break;
+  }
+}
+
+int msad_choice(const uint8_t* prev, const uint8_t* row, int bpp,
+                size_t rowbytes, uint8_t* scratch) {
+  // libpng considers only NONE and UP on single-pixel rows
+  const int candidates[5] = {0, 1, 2, 3, 4};
+  int ncand = rowbytes <= size_t(bpp) ? 2 : 5;
+  const int single_pixel[2] = {0, 2};
+  int best = 0;
+  uint64_t best_sum = ~0ULL;
+  for (int i = 0; i < ncand; i++) {
+    int f = rowbytes <= size_t(bpp) ? single_pixel[i] : candidates[i];
+    apply_filter_row(prev, row, f, bpp, rowbytes, scratch);
+    uint64_t s = 0;
+    for (size_t x = 0; x < rowbytes; x++) {
+      uint8_t v = scratch[x];
+      s += v < 128 ? v : 256 - v;
+    }
+    if (s < best_sum) {
+      best = f;
+      best_sum = s;
+    }
+  }
+  return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgba: (h, w, 4) uint8. row_filters: h int8 entries or NULL for all-adaptive.
+// transform: 0=none, 1=srgb, 2=gama_only. Returns PL_OK or PL_TOO_LARGE (the
+// output buffer is filled in BOTH cases, matching rwpng.c:631-633 semantics).
+int pl_encode(const uint8_t* rgba, uint32_t w, uint32_t h,
+              const int8_t* row_filters, double gamma, int transform,
+              const uint8_t* chunks_blob, size_t chunks_len,
+              size_t maximum_file_size, uint8_t** out_data, size_t* out_len) {
+  if (!rgba || w == 0 || h == 0) {
+    g_error = "bad arguments";
+    return PL_BAD_ARGS;
+  }
+  std::vector<KeptChunk> chunks;
+  if (chunks_blob && !parse_chunks(chunks_blob, chunks_len, &chunks)) {
+    g_error = "bad chunk blob";
+    return PL_BAD_ARGS;
+  }
+
+  // gray/alpha re-detection (rwpng.c:557-573)
+  const size_t npix = size_t(w) * h;
+  bool grayscale = true, opaque = true;
+  for (size_t i = 0; i < npix && (grayscale || opaque); i++) {
+    const uint8_t* p = rgba + i * 4;
+    if (p[0] != p[1] || p[1] != p[2]) grayscale = false;
+    if (p[3] != 255) opaque = false;
+  }
+  int bpp, color_type;
+  if (grayscale && opaque) {
+    bpp = 1;
+    color_type = 0;
+  } else if (grayscale) {
+    bpp = 2;
+    color_type = 4;
+  } else if (opaque) {
+    bpp = 3;
+    color_type = 2;
+  } else {
+    bpp = 4;
+    color_type = 6;
+  }
+  const size_t rowbytes = size_t(w) * bpp;
+  std::vector<uint8_t> packed(size_t(h) * rowbytes);
+  for (size_t i = 0; i < npix; i++) {
+    const uint8_t* p = rgba + i * 4;
+    uint8_t* q = packed.data() + i * bpp;
+    if (color_type == 0) {
+      q[0] = p[1];  // green carries luminance (rwpng.c:587)
+    } else if (color_type == 4) {
+      q[0] = p[1];
+      q[1] = p[3];
+    } else if (color_type == 2) {
+      q[0] = p[0];
+      q[1] = p[1];
+      q[2] = p[2];
+    } else {
+      std::memcpy(q, p, 4);
+    }
+  }
+
+  std::vector<uint8_t> out;
+  out.reserve(npix + 1024);
+  out.insert(out.end(), kSig, kSig + 8);
+
+  auto put_chunk = [&](const char* name, const uint8_t* body, size_t n) {
+    put_be32(out, uint32_t(n));
+    size_t name_pos = out.size();
+    out.insert(out.end(), name, name + 4);
+    out.insert(out.end(), body, body + n);
+    uint32_t crc = crc32(0, out.data() + name_pos, uInt(4 + n));
+    put_be32(out, crc);
+  };
+
+  uint8_t ihdr[13];
+  ihdr[0] = uint8_t(w >> 24); ihdr[1] = uint8_t(w >> 16);
+  ihdr[2] = uint8_t(w >> 8); ihdr[3] = uint8_t(w);
+  ihdr[4] = uint8_t(h >> 24); ihdr[5] = uint8_t(h >> 16);
+  ihdr[6] = uint8_t(h >> 8); ihdr[7] = uint8_t(h);
+  ihdr[8] = 8;
+  ihdr[9] = uint8_t(color_type);
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;
+  put_chunk("IHDR", ihdr, 13);
+
+  // gamma/sRGB chunks (rwpng_set_gamma, rwpng.c:505-513): only non-default
+  // transforms emit gAMA; sRGB additionally emits the sRGB chunk
+  if (transform != 0 && transform != 2) {
+    uint32_t g = uint32_t(gamma * 100000.0 + 0.5);
+    uint8_t body[4] = {uint8_t(g >> 24), uint8_t(g >> 16), uint8_t(g >> 8), uint8_t(g)};
+    put_chunk("gAMA", body, 4);
+  }
+  if (transform == 1) {
+    uint8_t z = 0;
+    put_chunk("sRGB", &z, 1);
+  }
+  for (const auto& c : chunks)
+    if (c.location != 8) put_chunk(c.name, c.data.data(), c.data.size());
+
+  // filter + deflate (level 9, memLevel 9, Z_FILTERED — rwpng.c:471-472 and
+  // libpng's strategy default when row filtering is in use)
+  z_stream zs{};
+  if (deflateInit2(&zs, 9, Z_DEFLATED, 15, 9, Z_FILTERED) != Z_OK) {
+    g_error = "deflateInit2 failed";
+    return PL_BAD_ARGS;
+  }
+  std::vector<uint8_t> stream;
+  stream.reserve(npix / 2 + 1024);
+  std::vector<uint8_t> line(rowbytes + 1);
+  std::vector<uint8_t> scratch(rowbytes);
+  std::vector<uint8_t> zbuf(1 << 16);
+
+  auto deflate_chunk = [&](const uint8_t* p, size_t n, int flush) {
+    zs.next_in = const_cast<uint8_t*>(p);
+    zs.avail_in = uInt(n);
+    do {
+      zs.next_out = zbuf.data();
+      zs.avail_out = uInt(zbuf.size());
+      deflate(&zs, flush);
+      stream.insert(stream.end(), zbuf.data(),
+                    zbuf.data() + (zbuf.size() - zs.avail_out));
+    } while (zs.avail_out == 0);
+  };
+
+  const uint8_t* prev = nullptr;
+  for (uint32_t y = 0; y < h; y++) {
+    const uint8_t* row = packed.data() + size_t(y) * rowbytes;
+    int f;
+    if (y == 0 || row_filters == nullptr) {
+      f = msad_choice(prev, row, bpp, rowbytes, scratch.data());
+    } else {
+      f = row_filters[y];
+      // libpng ignores forced SUB/AVG/PAETH on single-pixel rows
+      if (rowbytes <= size_t(bpp) && (f == 1 || f == 3 || f == 4)) f = 0;
+    }
+    line[0] = uint8_t(f);
+    apply_filter_row(prev, row, f, bpp, rowbytes, line.data() + 1);
+    deflate_chunk(line.data(), rowbytes + 1, Z_NO_FLUSH);
+    prev = row;
+  }
+  deflate_chunk(nullptr, 0, Z_FINISH);
+  deflateEnd(&zs);
+
+  // libpng's optimize_cmf: claim the smallest deflate window covering the
+  // scanline data (pngwutil.c); deflate bytes are unaffected.
+  size_t data_size = size_t(h) * (rowbytes + 1);
+  if (data_size <= 16384 && !stream.empty() && (stream[0] & 0x0F) == 8 &&
+      (stream[0] & 0xF0) <= 0x70) {
+    unsigned z_cinfo = stream[0] >> 4;
+    unsigned half = 1u << (z_cinfo + 7);
+    if (data_size <= half) {
+      do {
+        half >>= 1;
+        z_cinfo--;
+      } while (z_cinfo > 0 && data_size <= half);
+      uint8_t cmf = uint8_t((stream[0] & 0x0F) | (z_cinfo << 4));
+      stream[0] = cmf;
+      unsigned tmp = stream[1] & 0xE0;
+      tmp += 0x1F - ((unsigned(cmf) << 8) + tmp) % 0x1F;
+      stream[1] = uint8_t(tmp);
+    }
+  }
+
+  for (size_t i = 0; i < stream.size(); i += 8192) {
+    size_t n = stream.size() - i < 8192 ? stream.size() - i : 8192;
+    put_chunk("IDAT", stream.data() + i, n);
+  }
+  for (const auto& c : chunks)
+    if (c.location == 8) put_chunk(c.name, c.data.data(), c.data.size());
+  put_chunk("IEND", nullptr, 0);
+
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(out.size()));
+  std::memcpy(buf, out.data(), out.size());
+  *out_data = buf;
+  *out_len = out.size();
+  if (maximum_file_size && out.size() > maximum_file_size) {
+    g_error = "output exceeds maximum_file_size";
+    return PL_TOO_LARGE;
+  }
+  return PL_OK;
+}
+
+}  // extern "C"

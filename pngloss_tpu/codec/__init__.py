@@ -2,9 +2,10 @@
 
 Two implementations with the same byte-level behavior:
   * `pypng` — pure Python/numpy + zlib (correctness reference, always there)
-  * `native` — C++ extension (zlib) for production throughput
+  * `native` — C++ (zlib) for production throughput, built from native/
 
-`decode`/`encode` dispatch to the native codec when built, else pypng.
+`decode`/`encode` dispatch to the native codec when it builds/loads, else to
+pypng. Set PNGLOSS_NO_NATIVE=1 to force the pure-Python path.
 """
 
 from pngloss_tpu.codec.pypng import (
@@ -12,12 +13,34 @@ from pngloss_tpu.codec.pypng import (
     DecodedImage,
     PngDecodeError,
     TooLargeFile,
-    decode,
     detect_colorspace,
-    encode,
     msad_filter_choice,
     pack_pixels,
 )
+from pngloss_tpu.codec import pypng
+
+
+def decode(data: bytes, strip: bool = False) -> DecodedImage:
+    from pngloss_tpu.codec import native
+
+    if native.available():
+        return native.decode(data, strip=strip)
+    return pypng.decode(data, strip=strip)
+
+
+def encode(rgba, row_filters=None, gamma: float = 0.45455,
+           color_transform: str = pypng.COLOR_GAMA_ONLY, chunks=None,
+           maximum_file_size: int = 0) -> bytes:
+    from pngloss_tpu.codec import native
+
+    if native.available():
+        return native.encode(rgba, row_filters=row_filters, gamma=gamma,
+                             color_transform=color_transform, chunks=chunks,
+                             maximum_file_size=maximum_file_size)
+    return pypng.encode(rgba, row_filters=row_filters, gamma=gamma,
+                        color_transform=color_transform, chunks=chunks,
+                        maximum_file_size=maximum_file_size)
+
 
 __all__ = [
     "Chunk",
@@ -29,4 +52,5 @@ __all__ = [
     "detect_colorspace",
     "msad_filter_choice",
     "pack_pixels",
+    "pypng",
 ]
