@@ -20,11 +20,12 @@ def main() -> None:
     import jax
 
     from pngloss_tpu import codec
-    from pngloss_tpu.ops.optimize import optimize_batch
+    from pngloss_tpu.ops import optimize_batch_auto
     from pngloss_tpu.pipeline import reduce_colorspace
 
     batch = int(os.environ.get("PNGLOSS_BENCH_BATCH", "32"))
     strength = int(os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
+    impl = os.environ.get("PNGLOSS_BENCH_IMPL", "auto")
 
     # lena.png: 512x512 RGB — the reference's headline benchmark image
     lena = open("/root/reference/suite/lena.png", "rb").read()
@@ -33,15 +34,15 @@ def main() -> None:
     mp = batch * work.shape[0] * (work.shape[1] // bpp) / 1e6
 
     t0 = time.time()
-    q, f = optimize_batch(rows, strength, 2, bpp=bpp)
-    q.block_until_ready()
+    q, f = optimize_batch_auto(rows, strength, 2, bpp=bpp, impl=impl)
+    np.asarray(q)
     compile_s = time.time() - t0
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        q, f = optimize_batch(rows, strength, 2, bpp=bpp)
-        q.block_until_ready()
+        q, f = optimize_batch_auto(rows, strength, 2, bpp=bpp, impl=impl)
+        np.asarray(q)
         times.append(time.time() - t0)
     best = min(times)
 

@@ -1,0 +1,277 @@
+"""Batch-layout optimizer driving the Pallas row kernel.
+
+The whole image batch lives in "transposed" layout (rows x batch-lanes):
+  * original / quantized rows:  (H, W*bpp, B) int32
+  * dither rows:                (4*(W+5), B) int32
+  * adaptive histogram:         (TABLE, B) int32
+  * per-filter results:         (..., 5B) lanes, filter-major
+
+Each scan-over-rows step calls the Pallas kernel (pallas_row.py) once per
+strength attempt; everything around it is dense XLA with NO gathers:
+  * row cost: sum over t<256 of (hist_out - hist_in) * (33 + clz(hist_out))
+    — exact identity for sum(ulog2(UINTMAX_MAX / freq[sym])) because the
+    histogram increments once per emitted symbol (optimize_state.c:251-254)
+  * derivative error (optimize_state.c:265-289) as a vectorized row op with
+    the exact uintmax/128 split-sum
+  * libpng MSAD self-check (optimize_state.c:492-562) vectorized over all
+    5 candidate rows x 5 trial filters, gated by lax.cond on adaptive rows
+  * per-image strength fallback (pngloss_image.c:266-275) as a while_loop
+    with a per-image strength vector and found mask
+
+Bit-exact vs pngloss_tpu.core.reference (and therefore vs the C tool).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pngloss_tpu.ops.optimize import _original_frequencies, band_pad_for
+from pngloss_tpu.ops.pallas_row import row_attempt_pallas
+
+NUM_FILTERS = 5
+_I32_MAX = (1 << 31) - 1
+
+
+def _shift_rows(a, k: int):
+    """Shift (R, ...) down by k rows, zero-filled (left-neighbor shift)."""
+    return jnp.concatenate([jnp.zeros_like(a[:k]), a[:-k]], axis=0)
+
+
+def _tile5(v):
+    return jnp.tile(v, (1, NUM_FILTERS))
+
+
+def _pred_trial(t: int, above, diag, left):
+    """Static-filter predictor on row-major arrays."""
+    if t == 0:
+        return jnp.zeros_like(above)
+    if t == 1:
+        return left
+    if t == 2:
+        return above
+    if t == 3:
+        return (above + left) // 2
+    p = above - diag
+    pd = left - diag
+    return jnp.where(
+        (jnp.abs(p) <= jnp.abs(pd)) & (jnp.abs(p) <= jnp.abs(p + pd)),
+        left, jnp.where(jnp.abs(pd) <= jnp.abs(p + pd), above, diag))
+
+
+def _msad_valid(qrow5, qprev_t, bpp: int, b: int):
+    """Does each filter's candidate row pass the libpng-heuristic
+    self-consistency check? Returns (5, B) bool."""
+    above5 = _tile5(qprev_t)
+    left5 = _shift_rows(qrow5, bpp)
+    diag5 = _tile5(_shift_rows(qprev_t, bpp))
+    sums = []
+    for t in range(NUM_FILTERS):
+        v = (qrow5 - _pred_trial(t, above5, diag5, left5)) & 0xFF
+        sums.append(jnp.sum(jnp.where(v < 128, v, 256 - v), axis=0))
+    sums = jnp.stack(sums)                      # (5 trials, 5B)
+    chosen = jnp.argmin(sums, axis=0)           # first minimum, like the
+    # C >= cascade resolving ties to the earliest filter
+    chosen = chosen.reshape(NUM_FILTERS, b)
+    f_ids = jnp.arange(NUM_FILTERS, dtype=chosen.dtype)[:, None]
+    return chosen == f_ids
+
+
+def _deriv_error_div128(qrow5, qprev_t, orow_t, oprev_t, bpp: int, b: int, w: int):
+    """(5, B) int32: per-filter row derivative error // 128, exact."""
+    # channel weights from the color_delta lane mapping (color_delta.c:9-39)
+    if bpp == 1:
+        cw = [3]
+    elif bpp == 2:
+        cw = [3, 1]
+    else:
+        cw = [1] * bpp
+    wvec = jnp.asarray(cw * w, jnp.int32)[:, None]   # (W*bpp, 1)
+
+    def dist(new_pair5, old_pair5):
+        dn = qrow5 - new_pair5
+        do = _tile5(orow_t) - old_pair5
+        d = dn - do
+        return wvec * d * d
+
+    term = (
+        dist(_tile5(qprev_t), _tile5(oprev_t))
+        + dist(_tile5(_shift_rows(qprev_t, bpp)), _tile5(_shift_rows(oprev_t, bpp)))
+        + dist(_shift_rows(qrow5, bpp), _tile5(_shift_rows(orow_t, bpp)))
+    )
+    e = jnp.sum(term.reshape(w, bpp, NUM_FILTERS * b), axis=1)  # (W, 5B)
+    total = jnp.sum(e // 128, axis=0) + jnp.sum(e % 128, axis=0) // 128
+    return total.reshape(NUM_FILTERS, b)
+
+
+def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
+                 hist, ofreq5, *, w, bpp, b, table, interpret):
+    """One strength attempt for the whole batch. Returns per-filter results
+    plus (5, B) cost and validity."""
+    # the kernel wants every operand pre-tiled to 5B filter-major lanes
+    # (in-kernel lane concatenation is not Mosaic-representable)
+    qrow5, hist5, e0n5, e1n5 = row_attempt_pallas(
+        _tile5(s_vec), bleed, _tile5(orow_t), _tile5(qprev_t),
+        _tile5(e0), _tile5(e1), _tile5(hist), ofreq5,
+        w=w, bpp=bpp, b=b, table=table, interpret=interpret)
+
+    counts = hist5[:256] - _tile5(hist[:256])
+    bits = jnp.where(hist5[:256] > 0, 33 + lax.clz(hist5[:256]), 0)
+    total_cost = jnp.sum(counts * bits, axis=0).reshape(NUM_FILTERS, b)
+    cost = total_cost + _deriv_error_div128(
+        qrow5, qprev_t, orow_t, oprev_t, bpp, b, w)
+
+    ok = lax.cond(
+        adaptive,
+        lambda: _msad_valid(qrow5, qprev_t, bpp, b),
+        lambda: jnp.ones((NUM_FILTERS, b), bool))
+    return qrow5, hist5, e0n5, e1n5, cost, ok
+
+
+def _select_f(arr5, best_f, b: int):
+    """Select per-image winner lanes: arr5 (R, 5B), best_f (B,) -> (R, B)."""
+    r = arr5.shape[0]
+    a = arr5.reshape(r, NUM_FILTERS, b)
+    onehot = (jnp.arange(NUM_FILTERS, dtype=jnp.int32)[:, None]
+              == best_f[None, :]).astype(arr5.dtype)
+    return jnp.einsum("rfb,fb->rb", a, onehot)
+
+
+def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
+                            band_pad: int, use_row_filters: bool = True,
+                            interpret: bool = False):
+    """Optimize a batch in transposed layout.
+
+    rows_t: (H, W*bpp, B) int32. Returns (qrows_t (H, W*bpp, B) int32,
+    filters (H, B) int8)."""
+    h, wb, b = rows_t.shape
+    w = wb // bpp
+    table = 256 + band_pad
+
+    # original-residual histograms, extended-table, filter-major lanes
+    ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
+        jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp))      # (B, 5, 256)
+    ofreq_ext = jnp.concatenate([ofreq, ofreq[:, :, :band_pad]], axis=2)
+    ofreq5 = jnp.transpose(ofreq_ext, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
+
+    strength = jnp.asarray(strength, jnp.int32)
+    bleed = jnp.asarray(bleed, jnp.int32)
+    rows_e = 4 * (w + 5)
+
+    def y_step(carry, xs):
+        qprev_t, oprev_t, e0, e1, hist = carry
+        orow_t, y = xs
+        adaptive = jnp.asarray(True) if not use_row_filters else (y == 0)
+
+        def cond(st):
+            return ~jnp.all(st[0])
+
+        def body(st):
+            found, s_vec, best_f, qsel, hsel, e0sel, e1sel = st
+            qrow5, hist5, e0n5, e1n5, cost, ok = _row_attempt(
+                s_vec[None, :], bleed, adaptive, orow_t, oprev_t, qprev_t,
+                e0, e1, hist, ofreq5,
+                w=w, bpp=bpp, b=b, table=table, interpret=interpret)
+            found_real = jnp.any(ok, axis=0)                   # (B,)
+            # where C would abort ("no good row" at strength 0,
+            # pngloss_image.c:268), accept the min-cost row
+            ok = ok | (~found_real & (s_vec <= 0))[None, :]
+            found_now = found_real | (s_vec <= 0)
+            bf = jnp.argmin(jnp.where(ok, cost, _I32_MAX), axis=0).astype(jnp.int32)
+            upd = ~found & found_now                            # (B,)
+            best_f = jnp.where(upd, bf, best_f)
+            qsel = jnp.where(upd[None, :], _select_f(qrow5, bf, b), qsel)
+            hsel = jnp.where(upd[None, :], _select_f(hist5, bf, b), hsel)
+            e0sel = jnp.where(upd[None, :], _select_f(e0n5, bf, b), e0sel)
+            e1sel = jnp.where(upd[None, :], _select_f(e1n5, bf, b), e1sel)
+            s_next = jnp.where(found | found_now, s_vec, jnp.maximum(s_vec - 1, 0))
+            return (found | found_now, s_next, best_f, qsel, hsel, e0sel, e1sel)
+
+        init = (
+            jnp.zeros((b,), bool),
+            jnp.broadcast_to(strength, (b,)),
+            jnp.zeros((b,), jnp.int32),
+            jnp.zeros((wb, b), jnp.int32),
+            hist,
+            e0,
+            e1,
+        )
+        _, _, best_f, qsel, hsel, e0sel, e1sel = lax.while_loop(cond, body, init)
+        return ((qsel, orow_t, e0sel, e1sel, hsel),
+                (qsel, best_f.astype(jnp.int8)))
+
+    carry0 = (
+        jnp.zeros((wb, b), jnp.int32),
+        jnp.zeros((wb, b), jnp.int32),
+        jnp.zeros((rows_e, b), jnp.int32),
+        jnp.zeros((rows_e, b), jnp.int32),
+        jnp.zeros((table, b), jnp.int32),
+    )
+    ys = jnp.arange(h, dtype=jnp.int32)
+    _, (qrows_t, filters) = lax.scan(y_step, carry0, (rows_t, ys))
+    return qrows_t, filters
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bpp", "band_pad", "use_row_filters", "interpret"))
+def _optimize_batch_pallas_jit(rows, strength, bleed, *, bpp, band_pad,
+                               use_row_filters, interpret):
+    b, h, wb = rows.shape
+    rows_t = jnp.transpose(rows.astype(jnp.int32), (1, 2, 0))   # (H, Wb, B)
+    qrows_t, filters = optimize_batch_pallas_t(
+        rows_t, strength, bleed, bpp=bpp, band_pad=band_pad,
+        use_row_filters=use_row_filters, interpret=interpret)
+    q = jnp.transpose(qrows_t, (2, 0, 1)).astype(jnp.uint8)     # (B, H, Wb)
+    return q, jnp.transpose(filters, (1, 0))
+
+
+def max_batch_for(w: int, bpp: int, band_pad: int,
+                  vmem_budget: int = 12 << 20) -> int:
+    """Largest per-kernel batch that fits the VMEM budget (all kernel
+    operands are int32; 5B-lane arrays dominate)."""
+    table = 256 + band_pad
+    wb = w * bpp
+    # every kernel operand is 5B lanes x int32: orig+qprev+qrow = 3 row
+    # buffers, 5 dither buffers (e0, e1, e0n, e1n, err0 scratch), hist +
+    # hist_out + ofreq tables
+    per_b = 4 * NUM_FILTERS * (3 * wb + 5 * 4 * (w + 5) + 3 * table)
+    return max(8, min(512, (vmem_budget // per_b) // 8 * 8))
+
+
+def optimize_batch_pallas(rows, strength: int, bleed: int = 2, *, bpp: int,
+                          use_row_filters: bool = True,
+                          interpret: bool | None = None):
+    """Pallas-kernel counterpart of optimize.optimize_batch.
+
+    rows: (B, H, W*bpp) uint8. Returns ((B,H,W*bpp) uint8, (B,H) int8).
+    On non-TPU backends the kernel runs in interpreter mode. Batches larger
+    than the kernel's VMEM budget are processed in equal-size chunks (the
+    last chunk padded with copies — images are independent)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    band_pad = band_pad_for(strength)
+    b, _, wb = rows.shape
+    chunk = min(b, max_batch_for(wb // bpp, bpp, band_pad))
+    if b <= chunk:
+        return _optimize_batch_pallas_jit(
+            rows, jnp.int32(strength), jnp.int32(bleed), bpp=bpp,
+            band_pad=band_pad, use_row_filters=use_row_filters,
+            interpret=interpret)
+    qs, fs = [], []
+    import numpy as np
+    for i in range(0, b, chunk):
+        part = rows[i:i + chunk]
+        n = part.shape[0]
+        if n < chunk:
+            part = jnp.concatenate(
+                [part, jnp.broadcast_to(part[:1], (chunk - n,) + part.shape[1:])])
+        q, f = _optimize_batch_pallas_jit(
+            part, jnp.int32(strength), jnp.int32(bleed), bpp=bpp,
+            band_pad=band_pad, use_row_filters=use_row_filters,
+            interpret=interpret)
+        qs.append(np.asarray(q)[:n])
+        fs.append(np.asarray(f)[:n])
+    return np.concatenate(qs), np.concatenate(fs)

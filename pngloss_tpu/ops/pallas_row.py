@@ -2,33 +2,35 @@
 
 One kernel invocation quantizes ONE row of a whole image batch under ALL
 five PNG filters simultaneously: the vector lanes are ordered filter-major
-as (5, B) -> 5B, so the per-filter predictor needs no dynamic selection —
-each filter's formula is applied to its static lane block.
+as (5, B) -> 5B, so each lane carries one (filter, image) pair.
 
-Layout (chosen so every hot op is a dense 2-D VPU sweep, no gathers):
-  * per-lane scalars:      (1, 5B) rows
-  * dither windows:        (positions*4, 5B) rows carried through the x-loop
-  * adaptive histogram:    (TABLE, 5B), TABLE = 256 + band_pad, with the
-                           extended-table invariant hist[t] == hist[t & 0xFF]
-  * banded symbol search:  masked max/max/membership reductions along the
-                           TABLE (sublane) axis — optimize_state.c:183-248
-  * per-step memory ops:   single-sublane dynamic reads/writes (pl.ds)
+Mosaic-friendly construction rules used throughout (lane/sublane concats of
+non-tile-aligned vectors are unsupported on TPU):
+  * every input arrives pre-tiled to 5B lanes from XLA (XLA has no layout
+    constraints, so the 5x broadcast happens outside the kernel);
+  * the per-filter predictor is selected by comparing a lane-id iota
+    (lane // B == filter) — no concatenation, no dynamic indexing;
+  * the three Sierra dither rows live as absolute-indexed VMEM buffers
+    (a scratch buffer for the current row 0 and the two output buffers for
+    next row's rows 0/1), updated with single-row read-modify-writes at
+    positions derived from x — replacing the reference's sliding 3-row
+    window (optimize_state.c:48-49, 344-351) without any vector reshapes;
+  * per-color diffusion values are independent (1, 5B) rows, unrolled in
+    Python — never stacked into (4, 5B) arrays.
 
-Integer division by runtime divisors (the band modulus and the bleed
-divider) has no TPU hardware op; it is computed via f32 reciprocal multiply
-with two exact integer corrections (operand magnitudes here are < 2^20, so
-one correction already suffices; the second is belt-and-braces). Divisions
-by the static Sierra constants 16/8/2 reduce to shifts on magnitudes and
-/9 goes through the same reciprocal helper.
+The banded symbol search (optimize_state.c:183-248) is computed as dense
+masked max/max/membership reductions along the TABLE sublane axis over an
+extended histogram table (TABLE = 256 + band_pad, hist[t] == hist[t & 0xFF])
+so the dynamic band position needs no gather and no dynamic slice.
 
-Everything else (row cost, adaptive MSAD self-check, derivative error,
-filter selection, strength fallback, the scan over rows) stays in XLA —
-see pngloss_tpu/ops/optimize.py. The row cost needs no per-symbol gather:
-  sum over pixels of ulog2(UINTMAX_MAX / freq[sym])
-      == sum over t<256 of (hist_out[t] - hist_in[t]) * (33 + clz(hist_out[t]))
-because the histogram increments exactly once per emitted symbol
-(optimize_state.c:251-254) and the emitted byte equals the cost-loop's
-recomputed byte (the ±256 predictor wrap vanishes mod 256).
+Integer division by runtime divisors (band modulus, bleed divider) has no
+TPU hardware op; it is an f32 reciprocal multiply with two exact integer
+corrections (operands < 2^20). The static Sierra divisors 16/8/2 reduce to
+shifts on magnitudes; /9 uses the reciprocal helper.
+
+Everything around the kernel (row cost, MSAD self-check, derivative error,
+filter selection, strength fallback, scan over rows) stays in XLA — see
+pngloss_tpu/ops/optimize_pallas.py.
 """
 
 from __future__ import annotations
@@ -67,88 +69,76 @@ def _tdiv_shift(a, k: int):
     return jnp.where(a < 0, -q, q)
 
 
-def _cd_rows(d, bpp: int):
-    """color_difference lane mapping (color_delta.c:9-39) on (bpp, L) rows
-    -> (4, L) rows."""
-    z = jnp.zeros_like(d[0:1])
-    if bpp == 1:
-        g = d[0:1]
-        return jnp.concatenate([g, g, g, z])
-    if bpp == 2:
-        g = d[0:1]
-        return jnp.concatenate([g, g, g, d[1:2]])
-    if bpp == 3:
-        return jnp.concatenate([d, z])
-    return d
-
-
 def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 hist_ref, ofreq_ref, qrow_ref, hist_out_ref, e0n_ref, e1n_ref,
-                *, w: int, bpp: int, b: int, table: int):
-    """See module docstring. Shapes:
-      orig_ref, qprev_ref : (W*bpp, B)   int32  original / quantized prev row
-      e0_ref, e1_ref      : (4*(W+5), B) int32  dither rows 0/1 at row start
-      hist_ref            : (TABLE, B)   int32  carried adaptive histogram
-      ofreq_ref           : (TABLE, 5B)  int32  original-residual histograms
-      qrow_ref            : (W*bpp, 5B)  int32  quantized row per filter
-      hist_out_ref        : (TABLE, 5B)  int32  updated histogram per filter
-      e0n_ref, e1n_ref    : (4*(W+5), 5B) int32 next row's dither rows 0/1
+                err0_ref, *, w: int, bpp: int, b: int, table: int):
+    """See module docstring. Shapes (L = 5B lanes, filter-major):
+      s_ref               : (1, L)       int32  per-lane strength
+      bleed_ref           : (1, 1)       int32  (SMEM)
+      orig_ref, qprev_ref : (W*bpp, L)   int32  original / quantized prev row
+      e0_ref, e1_ref      : (4*(W+5), L) int32  dither rows 0/1 at row start
+      hist_ref            : (TABLE, L)   int32  carried adaptive histogram
+      ofreq_ref           : (TABLE, L)   int32  original-residual histograms
+      qrow_ref            : (W*bpp, L)   int32  out: quantized row
+      hist_out_ref        : (TABLE, L)   int32  out: updated histogram
+      e0n_ref, e1n_ref    : (4*(W+5), L) int32  out: next row's dither rows
+      err0_ref            : (4*(W+5), L) int32  scratch: current dither row 0
+    Dither buffers hold column j's 4 color lanes at rows [4j, 4j+4).
     """
-    l5 = 5 * b
+    del b  # lane blocking is encoded in s_ref/ofreq_ref contents
+    l5 = s_ref.shape[1]
     bleed = bleed_ref[0, 0]
+    s = s_ref[:, :]                   # (1, L)
+    band = s + 1
     iota_t = lax.broadcasted_iota(jnp.int32, (table, 1), 0)
 
-    def tile5(v):  # (k, B) -> (k, 5B), filter-major
-        return jnp.tile(v, (1, NUM_FILTERS))
+    # dither rows: row 0 accumulates in scratch; next row's rows 0/1 are the
+    # current row's rows 1/2 (the buffer shift of optimize_state.c:344-351
+    # is built in): row 1 accumulates into e0n (seeded from e1), row 2 into
+    # e1n (seeded with zeros)
+    err0_ref[:, :] = e0_ref[:, :]
+    e0n_ref[:, :] = e1_ref[:, :]
+    e1n_ref[:, :] = jnp.zeros_like(e1n_ref)
+    hist_out_ref[:, :] = hist_ref[:, :]
 
-    # strength is per image: the fallback retry (pngloss_image.c:266-275)
-    # lowers it independently per batch element
-    s = tile5(s_ref[:, :])            # (1, 5B)
-    band = s + 1
-
-    # seed the per-filter histograms from the shared carried histogram
-    hist_out_ref[:, :] = tile5(hist_ref[:, :])
-    # e1n rows outside the written range stay zero (dither row 2 column 0 is
-    # never written; columns W+4 likewise — optimize_state.c write offsets)
-    zeros4 = jnp.zeros((4, l5), jnp.int32)
-    e1n_ref[0:4, :] = zeros4
-    e1n_ref[pl.ds(4 * (w + 4), 4), :] = zeros4
-
-    def body(x, carry):
-        left, win0, win1, win2 = carry
-        # left: (bpp, 5B); win0/win2: (12, 5B); win1: (20, 5B)
+    def body(x, left):
+        # left: tuple of bpp (1, L) quantized left-pixel channels
         backs = []
         heres = []
         for c in range(bpp):
             row_i = x * bpp + c
-            orig_c = orig_ref[pl.ds(row_i, 1), :]        # (1, B)
+            orig_c = orig_ref[pl.ds(row_i, 1), :]        # (1, L)
             above_c = qprev_ref[pl.ds(row_i, 1), :]
             prev_i = jnp.maximum(row_i - bpp, 0)
             diag_c = jnp.where(x > 0, qprev_ref[pl.ds(prev_i, 1), :], 0)
+            left_c = left[c]
 
-            # per-filter predictors on static lane blocks (f-major order)
-            lf = lambda f: left[c:c + 1, f * b:(f + 1) * b]
-            avg = (above_c + lf(3)) >> 1
+            # per-filter predictor via lane-id selection (lanes are
+            # filter-major: lane // B == filter id)
+            avg = (above_c + left_c) >> 1
             p = above_c - diag_c
-            pd = lf(4) - diag_c
+            pd = left_c - diag_c
             p_left = jnp.abs(p)
             p_above = jnp.abs(pd)
             p_d = jnp.abs(p + pd)
             paeth = jnp.where(
-                (p_left <= p_above) & (p_left <= p_d), lf(4),
+                (p_left <= p_above) & (p_left <= p_d), left_c,
                 jnp.where(p_above <= p_d, above_c, diag_c))
-            pred = jnp.concatenate(
-                [jnp.zeros_like(orig_c), lf(1), above_c, avg, paeth], axis=1)
+            f_lane = lax.broadcasted_iota(jnp.int32, (1, l5), 1) // (l5 // 5)
+            pred = jnp.where(
+                f_lane == 1, left_c,
+                jnp.where(f_lane == 2, above_c,
+                          jnp.where(f_lane == 3, avg,
+                                    jnp.where(f_lane == 4, paeth, 0))))
 
-            orig5 = tile5(orig_c)                        # (1, 5B)
             lane = 3 if (bpp == 2 and c == 1) else c
-            ce = win0[lane:lane + 1, :]                   # dither at x+2
-            here_c = orig5 + ce
+            ce = err0_ref[pl.ds((x + 2) * 4 + lane, 1), :]
+            here_c = orig_c + ce
 
-            osym = orig5 - pred
+            osym = orig_c - pred
             predw = pred + jnp.where(osym < -128, -256,
                                      jnp.where(osym > 127, 256, 0))
-            osym = orig5 - predw
+            osym = orig_c - predw
             filt = here_c - predw
 
             q = _tdiv_pos(jnp.abs(filt), band)
@@ -162,6 +152,7 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             mn = jnp.where(over, 255 - predw, jnp.where(under, -predw, mn))
             mx = jnp.where(over, 255 - predw, jnp.where(under, -predw, mx))
 
+            # dense masked lexicographic selection (optimize_state.c:212-248)
             start = mn & 0xFF
             hist = hist_out_ref[:, :]
             ofr = ofreq_ref[:, :]
@@ -181,66 +172,69 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             if bpp % 2 == 0 and c == bpp - 1:
                 # fully transparent pixels stay transparent; the emitted
                 # symbol uses the UNwrapped predictor (optimize_state.c:158)
-                transp = tile5(orig_ref[pl.ds(x * bpp + bpp - 1, 1), :] == 0)
+                transp = orig_c == 0
                 back_c = jnp.where(transp, 0, back_c)
                 here_c = jnp.where(transp, 0, here_c)
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
             hist_out_ref[:, :] = hist + ((iota_t & 0xFF) == sym_byte)
+            qrow_ref[pl.ds(row_i, 1), :] = back_c
             backs.append(back_c)
             heres.append(here_c)
 
-        back = jnp.concatenate(backs, axis=0)            # (bpp, 5B)
-        here = jnp.concatenate(heres, axis=0)
-        qrow_ref[pl.ds(x * bpp, bpp), :] = back
+        # Sierra diffusion (optimize_state.c:390-490), one color lane at a
+        # time; the color_delta lane mapping (color_delta.c:9-39) is applied
+        # by choosing the channel delta that feeds each lane
+        for i in range(4):
+            if bpp == 1:
+                d = heres[0] - backs[0] if i < 3 else None
+            elif bpp == 2:
+                d = heres[0] - backs[0] if i < 3 else heres[1] - backs[1]
+            elif bpp == 3:
+                d = heres[i] - backs[i] if i < 3 else None
+            else:
+                d = heres[i] - backs[i]
+            if d is None:
+                continue  # lane diffuses zeros — all updates are no-ops
+            d = _tdiv(d, bleed)
+            twos = _tdiv_shift(d, 4)
+            d = d - twos * 4
+            threes = _tdiv_shift(d, 3)
+            d = d - threes * 2
+            fours = _tdiv(d * 2, jnp.int32(9))
+            d = d - fours * 2
+            five = _tdiv_shift(d, 1)
+            d = d - five
 
-        # Sierra diffusion (optimize_state.c:390-490)
-        d = _tdiv(_cd_rows(here - back, bpp), bleed)     # (4, 5B)
-        twos = _tdiv_shift(d, 4)
-        d = d - twos * 4
-        threes = _tdiv_shift(d, 3)
-        d = d - threes * 2
-        fours = _tdiv(d * 2, jnp.int32(9))
-        d = d - fours * 2
-        five = _tdiv_shift(d, 1)
-        d = d - five
+            def rmw(ref, col, val):
+                r = col * 4 + i
+                ref[pl.ds(r, 1), :] = ref[pl.ds(r, 1), :] + val
 
-        z4 = jnp.zeros_like(d)
-        win0 = win0 + jnp.concatenate([z4, d, threes])          # x+2,x+3,x+4
-        win1 = win1 + jnp.concatenate([twos, fours, five, fours, twos])
-        win2 = win2 + jnp.concatenate([twos, threes, twos])      # x+1..x+3
+            rmw(err0_ref, x + 3, d)        # remainder -> row0 col x+3
+            rmw(err0_ref, x + 4, threes)   # row0 col x+4
+            rmw(e0n_ref, x + 0, twos)      # row1 cols x..x+4
+            rmw(e0n_ref, x + 1, fours)
+            rmw(e0n_ref, x + 2, five)
+            rmw(e0n_ref, x + 3, fours)
+            rmw(e0n_ref, x + 4, twos)
+            rmw(e1n_ref, x + 1, twos)      # row2 cols x+1..x+3
+            rmw(e1n_ref, x + 2, threes)
+            rmw(e1n_ref, x + 3, twos)
 
-        e0n_ref[pl.ds(x * 4, 4), :] = win1[0:4]       # column x finalized
-        e1n_ref[pl.ds((x + 1) * 4, 4), :] = win2[0:4]  # column x+1 finalized
+        return tuple(backs)
 
-        e0in = tile5(e0_ref[pl.ds((x + 5) * 4, 4), :])
-        e1in = tile5(e1_ref[pl.ds((x + 5) * 4, 4), :])
-        win0 = jnp.concatenate([win0[4:12], e0in])
-        win1 = jnp.concatenate([win1[4:20], e1in])
-        win2 = jnp.concatenate([win2[4:12], z4])
-        return back, win0, win1, win2
-
-    carry0 = (
-        jnp.zeros((bpp, l5), jnp.int32),
-        tile5(e0_ref[8:20, :]),      # err0 columns x+2..x+4 at x=0
-        tile5(e1_ref[0:20, :]),      # err1 columns x..x+4 at x=0
-        jnp.zeros((12, l5), jnp.int32),
-    )
-    _, win0_f, win1_f, win2_f = lax.fori_loop(0, w, body, carry0)
-    del win0_f
-    e0n_ref[pl.ds(4 * w, 20), :] = win1_f            # columns W..W+4
-    e1n_ref[pl.ds(4 * (w + 1), 12), :] = win2_f      # columns W+1..W+3
+    left0 = tuple(jnp.zeros((1, l5), jnp.int32) for _ in range(bpp))
+    lax.fori_loop(0, w, body, left0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("w", "bpp", "b", "table", "interpret"))
-def row_attempt_pallas(s, bleed, orig_t, qprev_t, e0, e1, hist, ofreq5, *,
+def row_attempt_pallas(s5, bleed, orig5, qprev5, e05, e15, hist5, ofreq5, *,
                        w: int, bpp: int, b: int, table: int,
                        interpret: bool = False):
-    """Quantize one row for B images x 5 filters. All layouts as in
-    _row_kernel; s is a per-image (1, B) int32 strength vector, bleed an
-    int32 scalar. Returns
-    (qrow (W*bpp,5B), hist (TABLE,5B), e0n (4(W+5),5B), e1n (4(W+5),5B))."""
+    """Quantize one row for B images x 5 filters. Every array input is
+    pre-tiled to L = 5B filter-major lanes (XLA-side broadcast). Returns
+    (qrow (W*bpp,L), hist (TABLE,L), e0n (4(W+5),L), e1n (4(W+5),L))."""
     l5 = NUM_FILTERS * b
     wb = w * bpp
     rows_e = 4 * (w + 5)
@@ -258,9 +252,10 @@ def row_attempt_pallas(s, bleed, orig_t, qprev_t, e0, e1, hist, ofreq5, *,
         out_shape=out_shapes,
         in_specs=[vmem, smem, vmem, vmem, vmem, vmem, vmem, vmem],
         out_specs=(vmem, vmem, vmem, vmem),
+        scratch_shapes=[pltpu.VMEM((rows_e, l5), jnp.int32)],
         interpret=interpret,
     )(
-        jnp.reshape(s.astype(jnp.int32), (1, b)),
+        s5.astype(jnp.int32),
         jnp.reshape(bleed.astype(jnp.int32), (1, 1)),
-        orig_t, qprev_t, e0, e1, hist, ofreq5,
+        orig5, qprev5, e05, e15, hist5, ofreq5,
     )

@@ -15,12 +15,12 @@ DCN would only appear past one slice, by nesting this mesh inside a
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from pngloss_tpu.ops.optimize import optimize_batch
 
 BATCH_AXIS = "data"
 
@@ -38,13 +38,18 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 def optimize_batch_sharded(rows: np.ndarray, strength: int, bleed: int = 2, *,
                            bpp: int, use_row_filters: bool = True,
-                           mesh: Mesh | None = None):
-    """optimize_batch with the batch axis sharded over a device mesh.
+                           mesh: Mesh | None = None, impl: str = "auto"):
+    """Batch optimize with the batch axis sharded over a device mesh.
 
     rows: (B, H, W*bpp) uint8 host array. B is padded up to a multiple of the
     mesh size with copies of row 0 (images are independent, padding results
-    are discarded). Returns host numpy arrays ((B,H,W*bpp) uint8, (B,H) int8).
+    are discarded). The per-shard computation runs under shard_map so the
+    Pallas kernel partitions too (a custom call cannot be auto-partitioned
+    by XLA's SPMD propagation). Returns host numpy arrays
+    ((B,H,W*bpp) uint8, (B,H) int8).
     """
+    from pngloss_tpu.ops import optimize_batch_auto
+
     if mesh is None:
         mesh = data_mesh()
     n_dev = mesh.devices.size
@@ -54,7 +59,16 @@ def optimize_batch_sharded(rows: np.ndarray, strength: int, bleed: int = 2, *,
         rows = np.concatenate(
             [rows, np.broadcast_to(rows[:1], (b_pad - b,) + rows.shape[1:])])
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
-    rows_dev = jax.device_put(rows, sharding)
-    q, filters = optimize_batch(
-        rows_dev, strength, bleed, bpp=bpp, use_row_filters=use_row_filters)
+    rows_dev = jax.device_put(np.ascontiguousarray(rows), sharding)
+
+    fn = functools.partial(
+        optimize_batch_auto, strength=strength, bleed=bleed, bpp=bpp,
+        use_row_filters=use_row_filters, impl=impl)
+    # check_vma=False: the scan carries are initialized from constants inside
+    # the shard, which the varying-manual-axes checker cannot unify with the
+    # data-varying outputs; the computation is embarrassingly parallel
+    sharded = jax.shard_map(
+        fn, mesh=mesh, in_specs=P(BATCH_AXIS),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
+    q, filters = jax.jit(sharded)(rows_dev)
     return np.asarray(q)[:b], np.asarray(filters)[:b]

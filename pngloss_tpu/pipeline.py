@@ -16,7 +16,7 @@ import numpy as np
 
 from pngloss_tpu import codec
 from pngloss_tpu.codec import DecodedImage
-from pngloss_tpu.ops.optimize import optimize_batch
+from pngloss_tpu.ops import optimize_batch_auto
 from pngloss_tpu.parallel import optimize_batch_sharded
 
 
@@ -76,9 +76,12 @@ def optimize_for_average_filter(rgba: np.ndarray, strength: int = 19) -> np.ndar
 
 
 def optimize_rgba_batch(rgbas, strength: int = 19, bleed: int = 2, *,
-                        use_row_filters: bool = True, mesh=None):
+                        use_row_filters: bool = True, mesh=None,
+                        impl: str = "auto"):
     """Optimize a list of RGBA images, bucketing by working shape so each
     distinct (H, W, bpp) compiles once and same-shaped images batch together.
+    impl selects the device path: 'auto' (Pallas kernel on TPU, pure XLA
+    elsewhere), 'pallas', or 'xla'.
     Returns (list of quantized RGBA, list of row_filters)."""
     works, bpps = [], []
     for rgba in rgbas:
@@ -97,11 +100,11 @@ def optimize_rgba_batch(rgbas, strength: int = 19, bleed: int = 2, *,
         if mesh is not None:
             qb, fb = optimize_batch_sharded(
                 batch, strength, bleed, bpp=bpp,
-                use_row_filters=use_row_filters, mesh=mesh)
+                use_row_filters=use_row_filters, mesh=mesh, impl=impl)
         else:
-            qb, fb = optimize_batch(
+            qb, fb = optimize_batch_auto(
                 batch, strength, bleed, bpp=bpp,
-                use_row_filters=use_row_filters)
+                use_row_filters=use_row_filters, impl=impl)
             qb, fb = np.asarray(qb), np.asarray(fb)
         for j, i in enumerate(idxs):
             w = rgbas[i].shape[1]

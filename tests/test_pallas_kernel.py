@@ -1,0 +1,60 @@
+"""Bit-exactness of the Pallas row-kernel path vs the scalar model.
+
+On CPU the kernel runs in Pallas interpreter mode — same semantics as the
+compiled TPU kernel, exercised on real hardware by the TPU probe/bench.
+"""
+
+import numpy as np
+import pytest
+
+from pngloss_tpu.core import reference as ref
+from pngloss_tpu.ops.optimize_pallas import optimize_batch_pallas
+
+
+def _check(rows, bpp, strength, bleed=2, use_row_filters=True):
+    batch = rows[None] if rows.ndim == 2 else rows
+    q, f = optimize_batch_pallas(
+        batch, strength, bleed, bpp=bpp, use_row_filters=use_row_filters)
+    for i in range(batch.shape[0]):
+        qr, fr = ref.optimize_image(batch[i], bpp, strength, bleed, use_row_filters)
+        np.testing.assert_array_equal(np.asarray(f[i]), fr)
+        np.testing.assert_array_equal(np.asarray(q[i]), qr)
+
+
+@pytest.mark.parametrize("bpp", [1, 2, 3, 4])
+def test_random_all_bpp(bpp):
+    rng = np.random.default_rng(20 + bpp)
+    rows = rng.integers(0, 256, size=(2, 6, 7 * bpp), dtype=np.uint8)
+    if bpp % 2 == 0:  # exercise the transparent-pixel rule too
+        rows.reshape(2, 6, 7, bpp)[:, 1::2, ::2, bpp - 1] = 0
+    for strength in (0, 3, 19):
+        _check(rows, bpp, strength)
+
+
+def test_large_strength_and_bleed():
+    rng = np.random.default_rng(30)
+    rows = rng.integers(0, 256, size=(4, 5 * 3), dtype=np.uint8)
+    _check(rows, 3, 255)       # band_pad 256 variant
+    _check(rows, 3, 19, bleed=1)
+    _check(rows, 3, 19, bleed=32767)
+
+
+def test_embedding_mode():
+    rng = np.random.default_rng(31)
+    rows = rng.integers(0, 256, size=(4, 5 * 3), dtype=np.uint8)
+    _check(rows, 3, 19, use_row_filters=False)
+
+
+def test_smooth_gradient():
+    g = (np.arange(12)[:, None] * 7 + np.arange(14 * 3)[None, :] * 3).astype(np.uint8)
+    _check(g, 3, 19)
+
+
+def test_matches_xla_path():
+    from pngloss_tpu.ops.optimize import optimize_batch
+    rng = np.random.default_rng(32)
+    rows = rng.integers(0, 256, size=(3, 5, 6 * 3), dtype=np.uint8)
+    qp, fp = optimize_batch_pallas(rows, 19, bpp=3)
+    qx, fx = optimize_batch(rows, 19, bpp=3)
+    np.testing.assert_array_equal(np.asarray(qp), np.asarray(qx))
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(fx))
