@@ -145,7 +145,8 @@ CompressResult.unwrap = _unwrap
 
 def compress_many(files, strength: int = 19, bleed: int = 2, *,
                   strip: bool = False, skip_if_larger: bool = False,
-                  mesh=None, decode_workers: int = 0) -> list[CompressResult]:
+                  mesh=None, decode_workers: int = 0,
+                  impl: str = "auto") -> list[CompressResult]:
     """Compress many PNG byte strings as one batched device dispatch.
 
     This is the TPU-native form of the reference's run_suite.sh workload
@@ -174,7 +175,7 @@ def compress_many(files, strength: int = 19, bleed: int = 2, *,
             ok_idx.append(i)
             rgbas.append(img.rgba)
 
-    qs, fs = optimize_rgba_batch(rgbas, strength, bleed, mesh=mesh)
+    qs, fs = optimize_rgba_batch(rgbas, strength, bleed, mesh=mesh, impl=impl)
 
     def _encode(j: int) -> None:
         i = ok_idx[j]

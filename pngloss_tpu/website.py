@@ -1,0 +1,279 @@
+"""HTTP frontend — the TPU rebuild of the reference's Go FastCGI service
+(website/pnglossapi.go). Same endpoints and behaviors, but compression is an
+in-process library call into the batched pipeline instead of a subprocess
+shell-out (pnglossapi.go:543-556):
+
+  POST {prefix}compress.cgi    multipart fields: file | url | sum224, plus
+                               strength / bleed / strip. Stores the original
+                               content-addressed by SHA-224 (1296-slot disk
+                               store, pnglossapi.go:443-514), compresses, and
+                               returns an HTML fragment with sizes and an
+                               <img> link.
+  GET  {prefix}compressed.cgi  query: sum224 (base64url) / strength / bleed /
+                               strip -> image/png bytes (10-entry in-memory
+                               result cache, pnglossapi.go:516-560).
+
+Concurrency is capped at 2 in-flight requests per endpoint
+(pnglossapi.go:50-51); image dimensions are capped at 3000x3000
+(pnglossapi.go:239-251).
+
+Usage: python -m pngloss_tpu.website [--port 8117] [--store DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import hashlib
+import html
+import os
+import re
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+MAX_DIMENSION = 3000
+MAX_CONCURRENT = 2
+MAX_CACHED = 10
+MAX_FIELD_LENGTHS = {
+    "file": 20 * 1024 * 1024, "url": 2083, "sum224": 40,
+    "strength": 3, "bleed": 5, "strip": 1,
+}
+_ENCODE_STD = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+
+
+class OriginalsOnDisk:
+    """Content-addressed original store: sum224 mod 1296 -> 2-char slot file
+    plus a full-hash index entry (simplified from pnglossapi.go:443-514 —
+    the slot file disambiguates via an adjacent .sum file)."""
+
+    def __init__(self, prefix: str):
+        self.prefix = prefix
+        os.makedirs(prefix, exist_ok=True)
+        self.lock = threading.Lock()
+
+    def _path(self, sum224: bytes) -> str:
+        mod = int.from_bytes(sum224, "big") % (len(_ENCODE_STD) ** 2)
+        name = _ENCODE_STD[mod // len(_ENCODE_STD)] + _ENCODE_STD[mod % len(_ENCODE_STD)]
+        name = name.replace("/", "_").replace("+", "-")
+        return os.path.join(self.prefix, name)
+
+    def save(self, data: bytes, sum224: bytes) -> None:
+        path = self._path(sum224)
+        with self.lock:
+            with open(path + ".png", "wb") as f:
+                f.write(data)
+            with open(path + ".sum", "wb") as f:
+                f.write(sum224)
+
+    def load(self, sum224: bytes) -> bytes | None:
+        path = self._path(sum224)
+        with self.lock:
+            try:
+                with open(path + ".sum", "rb") as f:
+                    if f.read() != sum224:
+                        return None
+                with open(path + ".png", "rb") as f:
+                    return f.read()
+            except OSError:
+                return None
+
+
+class CompressedsInMemory:
+    """Last-10 (sum224, strength, bleed, strip) -> bytes cache."""
+
+    def __init__(self, originals: OriginalsOnDisk):
+        self.originals = originals
+        self.lock = threading.Lock()
+        self.entries: list[tuple[tuple, bytes]] = []
+
+    def compress(self, sum224: bytes, strength: int, bleed: int, strip: int) -> bytes:
+        key = (sum224, strength, bleed, strip)
+        with self.lock:
+            for k, v in self.entries:
+                if k == key:
+                    return v
+        original = self.originals.load(sum224)
+        if original is None:
+            raise FileNotFoundError("original not found")
+        from pngloss_tpu import pipeline
+
+        data = pipeline.compress_bytes(
+            original, strength, bleed, strip=bool(strip))
+        with self.lock:
+            self.entries.append((key, data))
+            del self.entries[:-MAX_CACHED]
+        return data
+
+
+def png_dimensions(data: bytes) -> tuple[int, int]:
+    if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h
+
+
+def parse_multipart(content_type: str, body: bytes) -> dict[str, bytes]:
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("no boundary")
+    boundary = m.group(1).encode()
+    fields: dict[str, bytes] = {}
+    for part in body.split(b"--" + boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        head, _, value = part.partition(b"\r\n\r\n")
+        nm = re.search(rb'name="([^"]+)"', head)
+        if not nm:
+            continue
+        name = nm.group(1).decode()
+        limit = MAX_FIELD_LENGTHS.get(name)
+        if limit is not None and len(value) <= limit:
+            fields[name] = value
+    return fields
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "pngloss-tpu-web"
+    originals: OriginalsOnDisk
+    compresseds: CompressedsInMemory
+    prefix = "/"
+    _gates = {"page": threading.Semaphore(MAX_CONCURRENT),
+              "image": threading.Semaphore(MAX_CONCURRENT)}
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _error(self, code: int, msg: str) -> None:
+        self.send_error(code, msg)
+
+    def do_GET(self):
+        path, _, query = self.path.partition("?")
+        if path != self.prefix + "compressed.cgi":
+            return self._error(404, "not found")
+        if not self._gates["image"].acquire(blocking=False):
+            return self._error(503, "server busy")
+        try:
+            params = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
+            try:
+                sum224 = base64.urlsafe_b64decode(params.get("sum224", ""))
+                if len(sum224) != 28:
+                    return self._error(400, "bad sum")
+                strength = int(params["strength"])
+                bleed = int(params["bleed"])
+                strip = int(params["strip"])
+                assert 0 <= strength < 128 and 0 <= bleed < 32768 and strip in (0, 1)
+            except (KeyError, ValueError, AssertionError):
+                return self._error(400, "bad query")
+            try:
+                data = self.compresseds.compress(sum224, strength, bleed, strip)
+            except Exception:
+                return self._error(500, "compression failed")
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        finally:
+            self._gates["image"].release()
+
+    def do_POST(self):
+        path = self.path.partition("?")[0]
+        if path != self.prefix + "compress.cgi":
+            return self._error(404, "not found")
+        if not self._gates["page"].acquire(blocking=False):
+            return self._error(503, "server busy")
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if length > 21 * 1024 * 1024:
+                return self._error(413, "too large")
+            body = self.rfile.read(length)
+            try:
+                fields = parse_multipart(
+                    self.headers.get("Content-Type", ""), body)
+            except ValueError:
+                return self._error(400, "bad multipart")
+
+            file_data = fields.get("file")
+            if not file_data and "sum224" in fields:
+                sum224 = base64.urlsafe_b64decode(fields["sum224"])
+                file_data = self.originals.load(sum224)
+                if file_data is None:
+                    return self._error(404, "unknown sum224")
+            elif not file_data and "url" in fields:
+                import urllib.request
+                try:
+                    with urllib.request.urlopen(
+                            fields["url"].decode(), timeout=10) as r:
+                        file_data = r.read(MAX_FIELD_LENGTHS["file"] + 1)
+                except Exception:
+                    return self._error(502, "fetch failed")
+            if not file_data:
+                return self._error(400, "missing file")
+
+            try:
+                w, h = png_dimensions(file_data)
+            except ValueError:
+                return self._error(400, "not a PNG")
+            if w > MAX_DIMENSION or h > MAX_DIMENSION:
+                return self._error(400, "image too large")
+
+            try:
+                strength = int(fields.get("strength", b"19"))
+                bleed = int(fields.get("bleed", b"2"))
+                strip = int(fields.get("strip", b"0"))
+            except ValueError:
+                return self._error(400, "bad parameters")
+
+            sum224 = hashlib.sha224(file_data).digest()
+            self.originals.save(file_data, sum224)
+            encoded = base64.urlsafe_b64encode(sum224).decode()
+            try:
+                data = self.compresseds.compress(sum224, strength, bleed, strip)
+            except Exception:
+                return self._error(500, "compression failed")
+
+            pct = 100.0 * len(data) / len(file_data)
+            link = (f"{self.prefix}compressed.cgi?sum224={encoded}"
+                    f"&strength={strength}&bleed={bleed}&strip={strip}")
+            page = (
+                "<!DOCTYPE html><html><body>"
+                f"<p>original {len(file_data)} bytes, compressed {len(data)}"
+                f" bytes ({pct:.1f}%)</p>"
+                f'<img src="{html.escape(link, quote=True)}" alt="compressed">'
+                "</body></html>").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(page)))
+            self.end_headers()
+            self.wfile.write(page)
+        finally:
+            self._gates["page"].release()
+
+
+def make_server(port: int = 8117, store: str = "/tmp/pngloss_store",
+                prefix: str = "/") -> ThreadingHTTPServer:
+    originals = OriginalsOnDisk(store)
+    handler = type("BoundHandler", (Handler,), dict(
+        originals=originals,
+        compresseds=CompressedsInMemory(originals),
+        prefix=prefix,
+    ))
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8117)
+    ap.add_argument("--store", default="/tmp/pngloss_store")
+    args = ap.parse_args(argv)
+    srv = make_server(args.port, args.store)
+    print(f"serving on http://127.0.0.1:{args.port}/")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
