@@ -401,8 +401,14 @@ def _optimize_batch_jit(rows, strength, bleed, *, bpp, band_pad, use_row_filters
 
 def band_pad_for(strength: int) -> int:
     """Static band padding: the symbol band is strength+1 wide, padded to a
-    lane-friendly constant so only two variants ever compile per shape."""
-    return 128 if strength <= 127 else 256
+    bucket constant so only a few variants ever compile per shape. The
+    extended table is 256+band_pad rows, so a smaller bucket means fewer
+    VPU sweeps per symbol selection (strength <= 31 covers the default 19)."""
+    if strength <= 31:
+        return 32
+    if strength <= 127:
+        return 128
+    return 256
 
 
 def optimize_batch(rows, strength: int, bleed: int = 2, *, bpp: int,
