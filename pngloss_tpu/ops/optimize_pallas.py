@@ -30,10 +30,24 @@ import jax.numpy as jnp
 from jax import lax
 
 from pngloss_tpu.ops.optimize import _original_frequencies, band_pad_for
-from pngloss_tpu.ops.pallas_row import row_attempt_pallas
+from pngloss_tpu.ops.pallas_row import STRIDE, row_attempt_pallas
 
 NUM_FILTERS = 5
 _I32_MAX = (1 << 31) - 1
+
+
+def _to_stride8(a_t, w: int, bpp: int):
+    """(W*bpp, B) -> (8W, B): pixel x's channels at rows [8x, 8x+bpp)."""
+    n = a_t.shape[1]
+    x = a_t.reshape(w, bpp, n)
+    x = jnp.pad(x, ((0, 0), (0, STRIDE - bpp), (0, 0)))
+    return x.reshape(STRIDE * w, n)
+
+
+def _from_stride8(a8, w: int, bpp: int):
+    """(8W, L) -> (W*bpp, L)."""
+    n = a8.shape[1]
+    return a8.reshape(w, STRIDE, n)[:, :bpp].reshape(w * bpp, n)
 
 
 def _shift_rows(a, k: int):
@@ -112,11 +126,15 @@ def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
     """One strength attempt for the whole batch. Returns per-filter results
     plus (5, B) cost and validity."""
     # the kernel wants every operand pre-tiled to 5B filter-major lanes
-    # (in-kernel lane concatenation is not Mosaic-representable)
-    qrow5, hist5, e0n5, e1n5 = row_attempt_pallas(
-        _tile5(s_vec), bleed, _tile5(orow_t), _tile5(qprev_t),
+    # (in-kernel lane concatenation is not Mosaic-representable) and the
+    # pixel/column-indexed operands in the 8-sublane-stride layout; the
+    # dither buffers (e0/e1) are carried in stride-8 layout throughout
+    qrow8, hist5, e0n5, e1n5 = row_attempt_pallas(
+        _tile5(s_vec), bleed, _tile5(_to_stride8(orow_t, w, bpp)),
+        _tile5(_to_stride8(qprev_t, w, bpp)),
         _tile5(e0), _tile5(e1), _tile5(hist), ofreq5,
         w=w, bpp=bpp, b=b, table=table, interpret=interpret)
+    qrow5 = _from_stride8(qrow8, w, bpp)
 
     counts = hist5[:256] - _tile5(hist[:256])
     bits = jnp.where(hist5[:256] > 0, 33 + lax.clz(hist5[:256]), 0)
@@ -159,7 +177,7 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
 
     strength = jnp.asarray(strength, jnp.int32)
     bleed = jnp.asarray(bleed, jnp.int32)
-    rows_e = 4 * (w + 5)
+    rows_e = STRIDE * (w + 5)
 
     def y_step(carry, xs):
         qprev_t, oprev_t, e0, e1, hist = carry
@@ -237,7 +255,9 @@ def max_batch_for(w: int, bpp: int, band_pad: int,
     # every kernel operand is 5B lanes x int32: orig+qprev+qrow = 3 row
     # buffers, 5 dither buffers (e0, e1, e0n, e1n, err0 scratch), hist +
     # hist_out + ofreq tables
-    per_b = 4 * NUM_FILTERS * (3 * wb + 5 * 4 * (w + 5) + 3 * table)
+    del wb
+    per_b = 4 * NUM_FILTERS * (
+        3 * STRIDE * w + 5 * STRIDE * (w + 5) + 3 * table)
     return max(8, min(512, (vmem_budget // per_b) // 8 * 8))
 
 

@@ -2,26 +2,24 @@
 
 One kernel invocation quantizes ONE row of a whole image batch under ALL
 five PNG filters simultaneously: the vector lanes are ordered filter-major
-as (5, B) -> 5B, so each lane carries one (filter, image) pair.
+as (5, B) -> L = 5B, so each lane carries one (filter, image) pair.
 
-Mosaic-friendly construction rules used throughout (lane/sublane concats of
-non-tile-aligned vectors are unsupported on TPU):
-  * every input arrives pre-tiled to 5B lanes from XLA (XLA has no layout
-    constraints, so the 5x broadcast happens outside the kernel);
-  * the per-filter predictor is selected by comparing a lane-id iota
-    (lane // B == filter) — no concatenation, no dynamic indexing;
-  * the three Sierra dither rows live as absolute-indexed VMEM buffers
-    (a scratch buffer for the current row 0 and the two output buffers for
-    next row's rows 0/1), updated with single-row read-modify-writes at
-    positions derived from x — replacing the reference's sliding 3-row
-    window (optimize_state.c:48-49, 344-351) without any vector reshapes;
-  * per-color diffusion values are independent (1, 5B) rows, unrolled in
-    Python — never stacked into (4, 5B) arrays.
+Layout: everything indexed by pixel/column uses an 8-SUBLANE STRIDE —
+pixel x's channels live at rows [8x, 8x+bpp) of an (8W, L) buffer, dither
+column j's 4 color lanes at rows [8j, 8j+4) of an (8(W+5), L) buffer. The
+stride-8 padding is what makes every per-step memory access a SINGLE
+aligned multi-row op (Mosaic requires dynamic multi-row starts to be
+provably 8-aligned, and per-(row,lane) single-row ops dominate the step
+cost otherwise): per pixel there are exactly 7 dynamic VMEM ops — 3 block
+reads (original pixel, previous-row pixel, dither column), 1 block write
+(quantized pixel) and 3 grouped read-modify-writes (one per Sierra dither
+row). All row composition uses row-index-iota `where` selects
+(concatenate/scatter/.at are not Mosaic-lowerable here).
 
-The banded symbol search (optimize_state.c:183-248) is computed as dense
-masked max/max/membership reductions along the TABLE sublane axis over an
-extended histogram table (TABLE = 256 + band_pad, hist[t] == hist[t & 0xFF])
-so the dynamic band position needs no gather and no dynamic slice.
+The banded symbol search (optimize_state.c:183-248) runs as dense masked
+max/max/membership reductions along the TABLE sublane axis over an extended
+histogram table (TABLE = 256 + band_pad, hist[t] == hist[t & 0xFF]), so the
+dynamic band position needs no gather and no dynamic slice.
 
 Integer division by runtime divisors (band modulus, bleed divider) has no
 TPU hardware op; it is an f32 reciprocal multiply with two exact integer
@@ -44,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NUM_FILTERS = 5
+STRIDE = 8  # sublane stride per pixel/column (alignment unit)
 
 
 def _tdiv_pos(u, div):
@@ -72,18 +71,17 @@ def _tdiv_shift(a, k: int):
 def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 hist_ref, ofreq_ref, qrow_ref, hist_out_ref, e0n_ref, e1n_ref,
                 err0_ref, *, w: int, bpp: int, b: int, table: int):
-    """See module docstring. Shapes (L = 5B lanes, filter-major):
-      s_ref               : (1, L)       int32  per-lane strength
-      bleed_ref           : (1, 1)       int32  (SMEM)
-      orig_ref, qprev_ref : (W*bpp, L)   int32  original / quantized prev row
-      e0_ref, e1_ref      : (4*(W+5), L) int32  dither rows 0/1 at row start
-      hist_ref            : (TABLE, L)   int32  carried adaptive histogram
-      ofreq_ref           : (TABLE, L)   int32  original-residual histograms
-      qrow_ref            : (W*bpp, L)   int32  out: quantized row
-      hist_out_ref        : (TABLE, L)   int32  out: updated histogram
-      e0n_ref, e1n_ref    : (4*(W+5), L) int32  out: next row's dither rows
-      err0_ref            : (4*(W+5), L) int32  scratch: current dither row 0
-    Dither buffers hold column j's 4 color lanes at rows [4j, 4j+4).
+    """See module docstring. Shapes (L = 5B lanes, filter-major; S = 8):
+      s_ref               : (1, L)        int32  per-lane strength
+      bleed_ref           : (1, 1)        int32  (SMEM)
+      orig_ref, qprev_ref : (S*W, L)      int32  original / quantized prev row
+      e0_ref, e1_ref      : (S*(W+5), L)  int32  dither rows 0/1 at row start
+      hist_ref            : (TABLE, L)    int32  carried adaptive histogram
+      ofreq_ref           : (TABLE, L)    int32  original-residual histograms
+      qrow_ref            : (S*W, L)      int32  out: quantized row
+      hist_out_ref        : (TABLE, L)    int32  out: updated histogram
+      e0n_ref, e1n_ref    : (S*(W+5), L)  int32  out: next row's dither rows
+      err0_ref            : (S*(W+5), L)  int32  scratch: current dither row 0
     """
     del b  # lane blocking is encoded in s_ref/ofreq_ref contents
     l5 = s_ref.shape[1]
@@ -91,6 +89,7 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
     s = s_ref[:, :]                   # (1, L)
     band = s + 1
     iota_t = lax.broadcasted_iota(jnp.int32, (table, 1), 0)
+    f_lane = lax.broadcasted_iota(jnp.int32, (1, l5), 1) // (l5 // 5)
 
     # dither rows: row 0 accumulates in scratch; next row's rows 0/1 are the
     # current row's rows 1/2 (the buffer shift of optimize_state.c:344-351
@@ -101,16 +100,37 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
     e1n_ref[:, :] = jnp.zeros_like(e1n_ref)
     hist_out_ref[:, :] = hist_ref[:, :]
 
-    def body(x, left):
-        # left: tuple of bpp (1, L) quantized left-pixel channels
+    def compose(vals, rows_n):
+        """vals: 4 per-color-lane (1, L) rows (or None = zero); build a
+        (rows_n, L) block whose row r carries vals[r % 8] (rows 4..7 of
+        each 8-row column block are zero padding)."""
+        ri = lax.broadcasted_iota(jnp.int32, (rows_n, l5), 0) & 7
+        if (vals[0] is not None and vals[0] is vals[1] and vals[1] is vals[2]):
+            tail = jnp.zeros((rows_n, l5), jnp.int32)
+            if vals[3] is not None:
+                tail = jnp.where(ri == 3, vals[3], tail)
+            return jnp.where(ri <= 2, vals[0], tail)
+        out = jnp.zeros((rows_n, l5), jnp.int32)
+        for i in range(4):
+            if vals[i] is not None:
+                out = jnp.where(ri == i, vals[i], out)
+        return out
+
+    def body(x, carry):
+        left, prev_above = carry
+        # left: tuple of bpp (1, L) quantized left-pixel channels;
+        # prev_above: (S, L) previous pixel of the quantized previous row
+        # (the diagonal neighbor — carried to avoid a fourth block read)
+        orig_px = orig_ref[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
+        above_px = qprev_ref[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
+        ce_px = err0_ref[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
+
         backs = []
         heres = []
         for c in range(bpp):
-            row_i = x * bpp + c
-            orig_c = orig_ref[pl.ds(row_i, 1), :]        # (1, L)
-            above_c = qprev_ref[pl.ds(row_i, 1), :]
-            prev_i = jnp.maximum(row_i - bpp, 0)
-            diag_c = jnp.where(x > 0, qprev_ref[pl.ds(prev_i, 1), :], 0)
+            orig_c = orig_px[c:c + 1, :]                       # (1, L)
+            above_c = above_px[c:c + 1, :]
+            diag_c = prev_above[c:c + 1, :]
             left_c = left[c]
 
             # per-filter predictor via lane-id selection (lanes are
@@ -124,7 +144,6 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             paeth = jnp.where(
                 (p_left <= p_above) & (p_left <= p_d), left_c,
                 jnp.where(p_above <= p_d, above_c, diag_c))
-            f_lane = lax.broadcasted_iota(jnp.int32, (1, l5), 1) // (l5 // 5)
             pred = jnp.where(
                 f_lane == 1, left_c,
                 jnp.where(f_lane == 2, above_c,
@@ -132,7 +151,7 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                                     jnp.where(f_lane == 4, paeth, 0))))
 
             lane = 3 if (bpp == 2 and c == 1) else c
-            ce = err0_ref[pl.ds((x + 2) * 4 + lane, 1), :]
+            ce = ce_px[lane:lane + 1, :]
             here_c = orig_c + ce
 
             osym = orig_c - pred
@@ -178,68 +197,81 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
             hist_out_ref[:, :] = hist + ((iota_t & 0xFF) == sym_byte)
-            qrow_ref[pl.ds(row_i, 1), :] = back_c
             backs.append(back_c)
             heres.append(here_c)
 
-        # Sierra diffusion (optimize_state.c:390-490), one color lane at a
-        # time; the color_delta lane mapping (color_delta.c:9-39) is applied
-        # by choosing the channel delta that feeds each lane
+        # one aligned block store per pixel: channel c at row c, rest zero
+        ri8 = lax.broadcasted_iota(jnp.int32, (STRIDE, l5), 0)
+        back_px = jnp.zeros((STRIDE, l5), jnp.int32)
+        for c in range(bpp):
+            back_px = jnp.where(ri8 == c, backs[c], back_px)
+        qrow_ref[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back_px
+
+        # Sierra diffusion (optimize_state.c:390-490) with the color_delta
+        # lane mapping (color_delta.c:9-39); ONE grouped read-modify-write
+        # per dither row
+        lanes = {1: [0, 0, 0, None], 2: [0, 0, 0, 1],
+                 3: [0, 1, 2, None], 4: [0, 1, 2, 3]}[bpp]
+        diffs = [heres[c] - backs[c] for c in range(bpp)]
+        twos_l, threes_l, fours_l, five_l, rem_l = ([None] * 4 for _ in range(5))
+        cache = {}
         for i in range(4):
-            if bpp == 1:
-                d = heres[0] - backs[0] if i < 3 else None
-            elif bpp == 2:
-                d = heres[0] - backs[0] if i < 3 else heres[1] - backs[1]
-            elif bpp == 3:
-                d = heres[i] - backs[i] if i < 3 else None
-            else:
-                d = heres[i] - backs[i]
-            if d is None:
-                continue  # lane diffuses zeros — all updates are no-ops
-            d = _tdiv(d, bleed)
-            twos = _tdiv_shift(d, 4)
-            d = d - twos * 4
-            threes = _tdiv_shift(d, 3)
-            d = d - threes * 2
-            fours = _tdiv(d * 2, jnp.int32(9))
-            d = d - fours * 2
-            five = _tdiv_shift(d, 1)
-            d = d - five
+            c = lanes[i]
+            if c is None:
+                continue
+            if c not in cache:
+                d = _tdiv(diffs[c], bleed)
+                twos = _tdiv_shift(d, 4)
+                d = d - twos * 4
+                threes = _tdiv_shift(d, 3)
+                d = d - threes * 2
+                fours = _tdiv(d * 2, jnp.int32(9))
+                d = d - fours * 2
+                five = _tdiv_shift(d, 1)
+                d = d - five
+                cache[c] = (twos, threes, fours, five, d)
+            twos_l[i], threes_l[i], fours_l[i], five_l[i], rem_l[i] = cache[c]
 
-            def rmw(ref, col, val):
-                r = col * 4 + i
-                ref[pl.ds(r, 1), :] = ref[pl.ds(r, 1), :] + val
+        # row0 cols x+3..x+4: [rem, threes]
+        col16 = lax.broadcasted_iota(jnp.int32, (2 * STRIDE, l5), 0) >> 3
+        u0 = jnp.where(col16 == 0, compose(rem_l, 2 * STRIDE),
+                       compose(threes_l, 2 * STRIDE))
+        r0 = pl.multiple_of((x + 3) * STRIDE, 8)
+        err0_ref[pl.ds(r0, 2 * STRIDE), :] = err0_ref[pl.ds(r0, 2 * STRIDE), :] + u0
+        # row1 cols x..x+4: [twos, fours, five, fours, twos]
+        col40 = lax.broadcasted_iota(jnp.int32, (5 * STRIDE, l5), 0) >> 3
+        u1 = jnp.where((col40 == 0) | (col40 == 4), compose(twos_l, 5 * STRIDE),
+                       jnp.where(col40 == 2, compose(five_l, 5 * STRIDE),
+                                 compose(fours_l, 5 * STRIDE)))
+        r1 = pl.multiple_of(x * STRIDE, 8)
+        e0n_ref[pl.ds(r1, 5 * STRIDE), :] = e0n_ref[pl.ds(r1, 5 * STRIDE), :] + u1
+        # row2 cols x+1..x+3: [twos, threes, twos]
+        col24 = lax.broadcasted_iota(jnp.int32, (3 * STRIDE, l5), 0) >> 3
+        u2 = jnp.where(col24 == 1, compose(threes_l, 3 * STRIDE),
+                       compose(twos_l, 3 * STRIDE))
+        r2 = pl.multiple_of((x + 1) * STRIDE, 8)
+        e1n_ref[pl.ds(r2, 3 * STRIDE), :] = e1n_ref[pl.ds(r2, 3 * STRIDE), :] + u2
 
-            rmw(err0_ref, x + 3, d)        # remainder -> row0 col x+3
-            rmw(err0_ref, x + 4, threes)   # row0 col x+4
-            rmw(e0n_ref, x + 0, twos)      # row1 cols x..x+4
-            rmw(e0n_ref, x + 1, fours)
-            rmw(e0n_ref, x + 2, five)
-            rmw(e0n_ref, x + 3, fours)
-            rmw(e0n_ref, x + 4, twos)
-            rmw(e1n_ref, x + 1, twos)      # row2 cols x+1..x+3
-            rmw(e1n_ref, x + 2, threes)
-            rmw(e1n_ref, x + 3, twos)
-
-        return tuple(backs)
+        return tuple(backs), above_px
 
     left0 = tuple(jnp.zeros((1, l5), jnp.int32) for _ in range(bpp))
-    lax.fori_loop(0, w, body, left0)
+    lax.fori_loop(0, w, body, (left0, jnp.zeros((STRIDE, l5), jnp.int32)))
 
 
 @functools.partial(
     jax.jit, static_argnames=("w", "bpp", "b", "table", "interpret"))
-def row_attempt_pallas(s5, bleed, orig5, qprev5, e05, e15, hist5, ofreq5, *,
+def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5, *,
                        w: int, bpp: int, b: int, table: int,
                        interpret: bool = False):
-    """Quantize one row for B images x 5 filters. Every array input is
-    pre-tiled to L = 5B filter-major lanes (XLA-side broadcast). Returns
-    (qrow (W*bpp,L), hist (TABLE,L), e0n (4(W+5),L), e1n (4(W+5),L))."""
+    """Quantize one row for B images x 5 filters. Array inputs are pre-tiled
+    to L = 5B filter-major lanes and pixel/column-indexed arrays use the
+    8-sublane stride layout. Returns
+    (qrow (8W,L), hist (TABLE,L), e0n (8(W+5),L), e1n (8(W+5),L))."""
     l5 = NUM_FILTERS * b
-    wb = w * bpp
-    rows_e = 4 * (w + 5)
+    rows_px = STRIDE * w
+    rows_e = STRIDE * (w + 5)
     out_shapes = (
-        jax.ShapeDtypeStruct((wb, l5), jnp.int32),
+        jax.ShapeDtypeStruct((rows_px, l5), jnp.int32),
         jax.ShapeDtypeStruct((table, l5), jnp.int32),
         jax.ShapeDtypeStruct((rows_e, l5), jnp.int32),
         jax.ShapeDtypeStruct((rows_e, l5), jnp.int32),
@@ -247,15 +279,20 @@ def row_attempt_pallas(s5, bleed, orig5, qprev5, e05, e15, hist5, ofreq5, *,
     kernel = functools.partial(_row_kernel, w=w, bpp=bpp, b=b, table=table)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # operand footprint (everything int32, 5B lanes): 3 pixel buffers,
+    # 5 dither buffers, 3 histogram tables — plus slack for temporaries
+    vmem_bytes = 4 * (3 * rows_px + 5 * rows_e + 3 * table) * l5
+    vmem_bytes = min(int(vmem_bytes * 1.5) + (2 << 20), 128 << 20)
     return pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[vmem, smem, vmem, vmem, vmem, vmem, vmem, vmem],
         out_specs=(vmem, vmem, vmem, vmem),
         scratch_shapes=[pltpu.VMEM((rows_e, l5), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(
         s5.astype(jnp.int32),
         jnp.reshape(bleed.astype(jnp.int32), (1, 1)),
-        orig5, qprev5, e05, e15, hist5, ofreq5,
+        orig8, qprev8, e08, e18, hist5, ofreq5,
     )
