@@ -259,7 +259,12 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
     stdin = stdin if stdin is not None else sys.stdin.buffer
     stdout = stdout if stdout is not None else sys.stdout.buffer
 
-    # pngloss_main_internal (pngloss.c:168-224)
+    # pngloss_main_internal (pngloss.c:168-224). Multiple file inputs take
+    # the batched path: same per-file behavior and output, but all images
+    # go to the device as one dispatch per shape bucket.
+    if len(opts.files) > 1 and not opts.using_stdin and not opts.using_stdout:
+        return _run_batched(opts)
+
     error_count = skipped_count = file_count = 0
     latest_error = SUCCESS
     for filename in opts.files:
@@ -299,18 +304,97 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
                 error_count += 1
         file_count += 1
 
-    if opts.verbose:
-        s = lambda n: "" if n == 1 else "s"
-        if error_count:
-            print(f"There were errors compressing {error_count} file{s(error_count)}"
-                  f" out of a total of {file_count} file{s(file_count)}.",
-                  file=sys.stderr)
-        if skipped_count:
-            print(f"Skipped {skipped_count} file{s(skipped_count)} out of a total"
-                  f" of {file_count} file{s(file_count)}.", file=sys.stderr)
-        if not skipped_count and not error_count:
-            print(f"Compressed {file_count} image{s(file_count)}.", file=sys.stderr)
+    _verbose_summary(opts, error_count, skipped_count, file_count)
+    return latest_error
 
+
+def _verbose_summary(opts, error_count, skipped_count, file_count):
+    if not opts.verbose:
+        return
+    s = lambda n: "" if n == 1 else "s"
+    if error_count:
+        print(f"There were errors compressing {error_count} file{s(error_count)}"
+              f" out of a total of {file_count} file{s(file_count)}.",
+              file=sys.stderr)
+    if skipped_count:
+        print(f"Skipped {skipped_count} file{s(skipped_count)} out of a total"
+              f" of {file_count} file{s(file_count)}.", file=sys.stderr)
+    if not skipped_count and not error_count:
+        print(f"Compressed {file_count} image{s(file_count)}.", file=sys.stderr)
+
+
+def _run_batched(opts, mesh=None) -> int:
+    """Multi-file batched mode: overwrite guards and reads up front, one
+    batched device dispatch per shape bucket, then per-file encode+write
+    with the same verbose output and exit codes as the sequential path."""
+    from pngloss_tpu import pipeline
+
+    entries = []  # [filename, outname, retval, bytes|None, DecodedImage|None]
+    for filename in opts.files:
+        outname = opts.output_file_path or add_filename_extension(
+            filename, opts.extension)
+        retval = SUCCESS
+        data = img = None
+        if not opts.force and os.path.exists(outname):
+            print(f"  error: '{outname}' exists; not overwriting", file=sys.stderr)
+            retval = NOT_OVERWRITING_ERROR
+        if retval == SUCCESS:
+            try:
+                data = open(filename, "rb").read()
+            except OSError:
+                retval = READ_ERROR
+        if retval == SUCCESS:
+            try:
+                img = codec.decode(data, strip=opts.strip)
+            except codec.PngDecodeError:
+                retval = READ_ERROR
+        entries.append([filename, outname, retval, data, img])
+
+    ok = [e for e in entries if e[2] == SUCCESS]
+    qs, fs = pipeline.optimize_rgba_batch(
+        [e[4].rgba for e in ok], opts.strength, opts.bleed_divider, mesh=mesh)
+
+    error_count = skipped_count = 0
+    latest_error = SUCCESS
+    for j, e in enumerate(ok):
+        filename, outname, _, data, img = e
+        if opts.verbose:
+            print(f"{filename}:", file=sys.stderr)
+            print(f"  read {(len(data) + 500) // 1000}KB file", file=sys.stderr)
+            if img.gamma != 0.45455:
+                print(f"  converted image from gamma {1.0 / img.gamma:2.1f}"
+                      " to gamma 2.2", file=sys.stderr)
+        max_size = len(data) - 1 if opts.skip_if_larger else 0
+        try:
+            out = codec.encode(
+                qs[j], row_filters=fs[j], gamma=img.gamma,
+                color_transform=img.color_transform, chunks=img.chunks,
+                maximum_file_size=max_size)
+        except codec.TooLargeFile:
+            if opts.verbose:
+                kb = (max_size + 500) // 1000
+                print(f"  file exceeded maximum size of {kb}KB", file=sys.stderr)
+            e[2] = TOO_LARGE_FILE
+            continue
+        e[2] = _write_atomic(outname, out)
+        if e[2] == SUCCESS and opts.verbose:
+            kb = (len(out) + 500) // 1000
+            percent = 100.0 * len(out) / len(data)
+            print(f"  wrote {kb}KB file ({percent:.1f}% of original)",
+                  file=sys.stderr)
+            meta = sum(len(c.data) + 12 for c in img.chunks)
+            if meta > 0:
+                print(f"  copied {(meta + 500) // 1000}KB of additional"
+                      " PNG metadata", file=sys.stderr)
+
+    for e in entries:
+        if e[2] != SUCCESS:
+            latest_error = e[2]
+            if e[2] in (TOO_LOW_QUALITY, TOO_LARGE_FILE):
+                skipped_count += 1
+            else:
+                error_count += 1
+    _verbose_summary(opts, error_count, skipped_count, len(entries))
     return latest_error
 
 

@@ -14,7 +14,7 @@ import dataclasses
 
 import numpy as np
 
-from pngloss_tpu import codec
+from pngloss_tpu import codec, tracing
 from pngloss_tpu.codec import DecodedImage
 from pngloss_tpu.ops import optimize_batch_auto
 from pngloss_tpu.parallel import optimize_batch_sharded
@@ -97,15 +97,16 @@ def optimize_rgba_batch(rgbas, strength: int = 19, bleed: int = 2, *,
     f_out: list[np.ndarray | None] = [None] * len(rgbas)
     for (h, wb, bpp), idxs in buckets.items():
         batch = np.stack([works[i] for i in idxs])
-        if mesh is not None:
-            qb, fb = optimize_batch_sharded(
-                batch, strength, bleed, bpp=bpp,
-                use_row_filters=use_row_filters, mesh=mesh, impl=impl)
-        else:
-            qb, fb = optimize_batch_auto(
-                batch, strength, bleed, bpp=bpp,
-                use_row_filters=use_row_filters, impl=impl)
-            qb, fb = np.asarray(qb), np.asarray(fb)
+        with tracing.stage(f"device_optimize_{h}x{wb // bpp}x{bpp}"):
+            if mesh is not None:
+                qb, fb = optimize_batch_sharded(
+                    batch, strength, bleed, bpp=bpp,
+                    use_row_filters=use_row_filters, mesh=mesh, impl=impl)
+            else:
+                qb, fb = optimize_batch_auto(
+                    batch, strength, bleed, bpp=bpp,
+                    use_row_filters=use_row_filters, impl=impl)
+                qb, fb = np.asarray(qb), np.asarray(fb)
         for j, i in enumerate(idxs):
             w = rgbas[i].shape[1]
             q_out[i] = restore_colorspace(qb[j], bpp, w)
@@ -156,7 +157,8 @@ def compress_many(files, strength: int = 19, bleed: int = 2, *,
     results = [CompressResult() for _ in files]
 
     def _decode(data: bytes) -> DecodedImage:
-        return codec.decode(data, strip=strip)
+        with tracing.stage("host_decode"):
+            return codec.decode(data, strip=strip)
 
     if decode_workers > 1:
         with _futures.ThreadPoolExecutor(decode_workers) as pool:
@@ -182,10 +184,11 @@ def compress_many(files, strength: int = 19, bleed: int = 2, *,
         img = decoded[i][0]
         max_size = results[i].input_size - 1 if skip_if_larger else 0
         try:
-            out = codec.encode(
-                qs[j], row_filters=fs[j], gamma=img.gamma,
-                color_transform=img.color_transform, chunks=img.chunks,
-                maximum_file_size=max_size)
+            with tracing.stage("host_encode"):
+                out = codec.encode(
+                    qs[j], row_filters=fs[j], gamma=img.gamma,
+                    color_transform=img.color_transform, chunks=img.chunks,
+                    maximum_file_size=max_size)
         except Exception as e:  # TooLargeFile and friends
             results[i].error = e
             return

@@ -100,3 +100,19 @@ def test_not_a_png_is_read_error(tmp_path):
     bad = tmp_path / "bad.png"
     bad.write_bytes(b"this is not a png")
     assert _run_ours(["-f", str(bad)])[0] == READ_ERROR
+
+
+def test_multi_file_batched_mode(oracle, rose_bytes, tmp_path):
+    for n in ("a", "b", "c"):
+        (tmp_path / f"{n}.png").write_bytes(rose_bytes)
+    paths = [str(tmp_path / f"{n}.png") for n in ("a", "b", "c")]
+    rc, _ = _run_ours(["-f", "-s", "19", *paths])
+    assert rc == SUCCESS
+    ref = subprocess.run([oracle, "-f", "-s", "19", "-b", "2", "-"],
+                         input=rose_bytes, capture_output=True).stdout
+    for n in ("a", "b", "c"):
+        assert (tmp_path / f"{n}-loss.png").read_bytes() == ref
+    # mixed errors: one missing file, one guard, one ok
+    rc, _ = _run_ours(["-s", "19", str(tmp_path / "a.png"),
+                       str(tmp_path / "missing.png")])
+    assert rc == NOT_OVERWRITING_ERROR or rc == READ_ERROR
