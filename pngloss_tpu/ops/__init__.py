@@ -7,19 +7,22 @@ from pngloss_tpu.ops.optimize_pallas import (
 )
 
 
-def optimize_batch_auto(rows, strength: int, bleed: int = 2, *, bpp: int,
-                        use_row_filters: bool = True, impl: str = "auto"):
+def optimize_batch_auto(rows, strength, bleed: int = 2, *, bpp: int,
+                        use_row_filters: bool = True, impl: str = "auto",
+                        band_pad: int | None = None):
     """Dispatch to the Pallas kernel on TPU, the pure-XLA path elsewhere.
 
-    impl: 'auto' | 'pallas' | 'xla'.
+    impl: 'auto' | 'pallas' | 'xla'. strength: int or per-image values.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return optimize_batch_pallas(
-            rows, strength, bleed, bpp=bpp, use_row_filters=use_row_filters)
+            rows, strength, bleed, bpp=bpp, use_row_filters=use_row_filters,
+            band_pad=band_pad)
     return optimize_batch(
-        rows, strength, bleed, bpp=bpp, use_row_filters=use_row_filters)
+        rows, strength, bleed, bpp=bpp, use_row_filters=use_row_filters,
+        band_pad=band_pad)
 
 
 __all__ = [

@@ -396,7 +396,9 @@ def _optimize_batch_jit(rows, strength, bleed, *, bpp, band_pad, use_row_filters
     fn = functools.partial(
         optimize_plane_jax, bpp=bpp, band_pad=band_pad,
         use_row_filters=use_row_filters)
-    return jax.vmap(lambda r: fn(r, strength, bleed))(rows)
+    if jnp.ndim(strength) == 0:
+        return jax.vmap(lambda r: fn(r, strength, bleed))(rows)
+    return jax.vmap(lambda r, s: fn(r, s, bleed))(rows, strength)
 
 
 def band_pad_for(strength: int) -> int:
@@ -411,15 +413,26 @@ def band_pad_for(strength: int) -> int:
     return 256
 
 
-def optimize_batch(rows, strength: int, bleed: int = 2, *, bpp: int,
-                   use_row_filters: bool = True):
+def optimize_batch(rows, strength, bleed: int = 2, *, bpp: int,
+                   use_row_filters: bool = True, band_pad: int | None = None):
     """Optimize a batch of same-shaped working-format planes on device.
 
-    rows: (B, H, W*bpp) uint8. Returns ((B,H,W*bpp) uint8, (B,H) int8).
-    strength/bleed are traced (no recompile across values); only shape, bpp
-    and the band-size bucket are compile-time static.
+    rows: (B, H, W*bpp) uint8. strength: int or per-image (B,) array.
+    Returns ((B,H,W*bpp) uint8, (B,H) int8). strength/bleed are traced
+    (no recompile across values); only shape, bpp and the band-size bucket
+    are compile-time static. When strength is a traced value, band_pad
+    must be given.
     """
+    import numpy as np
+
+    traced = isinstance(strength, jax.core.Tracer)
+    per_image = not np.isscalar(strength) and (traced or np.ndim(strength) > 0)
+    if band_pad is None:
+        s_max = int(np.max(strength)) if per_image else int(strength)
+        band_pad = band_pad_for(s_max)
+    s_arr = (jnp.asarray(strength, jnp.int32) if per_image
+             else jnp.int32(strength))
     return _optimize_batch_jit(
-        rows, jnp.int32(strength), jnp.int32(bleed),
-        bpp=bpp, band_pad=band_pad_for(strength),
+        rows, s_arr, jnp.int32(bleed),
+        bpp=bpp, band_pad=band_pad,
         use_row_filters=use_row_filters)

@@ -210,7 +210,7 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
 
         init = (
             jnp.zeros((b,), bool),
-            jnp.broadcast_to(strength, (b,)),
+            jnp.broadcast_to(strength, (b,)),   # scalar or per-image (B,)
             jnp.zeros((b,), jnp.int32),
             jnp.zeros((wb, b), jnp.int32),
             hist,
@@ -261,35 +261,58 @@ def max_batch_for(w: int, bpp: int, band_pad: int,
     return max(8, min(512, (vmem_budget // per_b) // 8 * 8))
 
 
-def optimize_batch_pallas(rows, strength: int, bleed: int = 2, *, bpp: int,
+def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
                           use_row_filters: bool = True,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          band_pad: int | None = None):
     """Pallas-kernel counterpart of optimize.optimize_batch.
 
-    rows: (B, H, W*bpp) uint8. Returns ((B,H,W*bpp) uint8, (B,H) int8).
+    rows: (B, H, W*bpp) uint8. strength: int or per-image (B,) values.
+    Returns ((B,H,W*bpp) uint8, (B,H) int8).
     On non-TPU backends the kernel runs in interpreter mode. Batches larger
     than the kernel's VMEM budget are processed in equal-size chunks (the
-    last chunk padded with copies — images are independent)."""
+    last chunk padded with copies — images are independent). When strength
+    is a traced value (e.g. under shard_map), band_pad must be given."""
+    import numpy as np
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    band_pad = band_pad_for(strength)
     b, _, wb = rows.shape
+    # strength may be a scalar or per-image array (the kernel's band math is
+    # per-lane, so mixed strengths batch together — the reference suite's
+    # 1,089 sequential invocations become a handful of dispatches)
+    traced = isinstance(rows, jax.core.Tracer) or isinstance(strength, jax.core.Tracer)
+    per_image = not np.isscalar(strength) and (
+        traced or np.ndim(strength) > 0)
+    if band_pad is None:
+        s_max = int(np.max(strength)) if per_image else int(strength)
+        band_pad = band_pad_for(s_max)
+    s_arr = (jnp.asarray(strength, jnp.int32) if per_image
+             else jnp.int32(strength))
+    if traced:
+        # inside an outer trace (shard_map/jit): no host-side chunking
+        return _optimize_batch_pallas_jit(
+            rows, s_arr, jnp.int32(bleed), bpp=bpp, band_pad=band_pad,
+            use_row_filters=use_row_filters, interpret=interpret)
     chunk = min(b, max_batch_for(wb // bpp, bpp, band_pad))
     if b <= chunk:
         return _optimize_batch_pallas_jit(
-            rows, jnp.int32(strength), jnp.int32(bleed), bpp=bpp,
+            rows, s_arr, jnp.int32(bleed), bpp=bpp,
             band_pad=band_pad, use_row_filters=use_row_filters,
             interpret=interpret)
     qs, fs = [], []
-    import numpy as np
     for i in range(0, b, chunk):
         part = rows[i:i + chunk]
+        s_part = s_arr[i:i + chunk] if per_image else s_arr
         n = part.shape[0]
         if n < chunk:
             part = jnp.concatenate(
                 [part, jnp.broadcast_to(part[:1], (chunk - n,) + part.shape[1:])])
+            if per_image:
+                s_part = jnp.concatenate(
+                    [s_part, jnp.broadcast_to(s_part[:1], (chunk - n,))])
         q, f = _optimize_batch_pallas_jit(
-            part, jnp.int32(strength), jnp.int32(bleed), bpp=bpp,
+            part, s_part, jnp.int32(bleed), bpp=bpp,
             band_pad=band_pad, use_row_filters=use_row_filters,
             interpret=interpret)
         qs.append(np.asarray(q)[:n])

@@ -36,7 +36,7 @@ def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def optimize_batch_sharded(rows: np.ndarray, strength: int, bleed: int = 2, *,
+def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
                            bpp: int, use_row_filters: bool = True,
                            mesh: Mesh | None = None, impl: str = "auto"):
     """Batch optimize with the batch axis sharded over a device mesh.
@@ -55,20 +55,39 @@ def optimize_batch_sharded(rows: np.ndarray, strength: int, bleed: int = 2, *,
     n_dev = mesh.devices.size
     b = rows.shape[0]
     b_pad = pad_to_multiple(b, n_dev)
+    per_image = not np.isscalar(strength)
+    s_arr = np.asarray(strength, np.int32) if per_image else None
     if b_pad != b:
         rows = np.concatenate(
             [rows, np.broadcast_to(rows[:1], (b_pad - b,) + rows.shape[1:])])
+        if per_image:
+            s_arr = np.concatenate(
+                [s_arr, np.broadcast_to(s_arr[:1], (b_pad - b,))])
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
     rows_dev = jax.device_put(np.ascontiguousarray(rows), sharding)
 
-    fn = functools.partial(
-        optimize_batch_auto, strength=strength, bleed=bleed, bpp=bpp,
-        use_row_filters=use_row_filters, impl=impl)
     # check_vma=False: the scan carries are initialized from constants inside
     # the shard, which the varying-manual-axes checker cannot unify with the
     # data-varying outputs; the computation is embarrassingly parallel
-    sharded = jax.shard_map(
-        fn, mesh=mesh, in_specs=P(BATCH_AXIS),
-        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
-    q, filters = jax.jit(sharded)(rows_dev)
+    if per_image:
+        from pngloss_tpu.ops.optimize import band_pad_for
+
+        fn = functools.partial(
+            optimize_batch_auto, bleed=bleed, bpp=bpp,
+            use_row_filters=use_row_filters, impl=impl,
+            band_pad=band_pad_for(int(s_arr.max())))
+        sharded = jax.shard_map(
+            lambda r, s: fn(r, strength=s), mesh=mesh,
+            in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+            out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
+        q, filters = jax.jit(sharded)(
+            rows_dev, jax.device_put(s_arr, sharding))
+    else:
+        fn = functools.partial(
+            optimize_batch_auto, strength=strength, bleed=bleed, bpp=bpp,
+            use_row_filters=use_row_filters, impl=impl)
+        sharded = jax.shard_map(
+            fn, mesh=mesh, in_specs=P(BATCH_AXIS),
+            out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
+        q, filters = jax.jit(sharded)(rows_dev)
     return np.asarray(q)[:b], np.asarray(filters)[:b]

@@ -75,14 +75,20 @@ def optimize_for_average_filter(rgba: np.ndarray, strength: int = 19) -> np.ndar
     return q
 
 
-def optimize_rgba_batch(rgbas, strength: int = 19, bleed: int = 2, *,
+def optimize_rgba_batch(rgbas, strength=19, bleed: int = 2, *,
                         use_row_filters: bool = True, mesh=None,
                         impl: str = "auto"):
     """Optimize a list of RGBA images, bucketing by working shape so each
     distinct (H, W, bpp) compiles once and same-shaped images batch together.
-    impl selects the device path: 'auto' (Pallas kernel on TPU, pure XLA
-    elsewhere), 'pallas', or 'xla'.
+    strength: one int for all images, or a per-image sequence — mixed
+    strengths still share one device dispatch per bucket (the band math is
+    per-lane). impl selects the device path: 'auto' (Pallas kernel on TPU,
+    pure XLA elsewhere), 'pallas', or 'xla'.
     Returns (list of quantized RGBA, list of row_filters)."""
+    per_image = not np.isscalar(strength)
+    if per_image:
+        strength = list(strength)
+        assert len(strength) == len(rgbas)
     works, bpps = [], []
     for rgba in rgbas:
         work, bpp = reduce_colorspace(rgba)
@@ -97,14 +103,16 @@ def optimize_rgba_batch(rgbas, strength: int = 19, bleed: int = 2, *,
     f_out: list[np.ndarray | None] = [None] * len(rgbas)
     for (h, wb, bpp), idxs in buckets.items():
         batch = np.stack([works[i] for i in idxs])
+        s = (np.asarray([strength[i] for i in idxs], np.int32)
+             if per_image else strength)
         with tracing.stage(f"device_optimize_{h}x{wb // bpp}x{bpp}"):
             if mesh is not None:
                 qb, fb = optimize_batch_sharded(
-                    batch, strength, bleed, bpp=bpp,
+                    batch, s, bleed, bpp=bpp,
                     use_row_filters=use_row_filters, mesh=mesh, impl=impl)
             else:
                 qb, fb = optimize_batch_auto(
-                    batch, strength, bleed, bpp=bpp,
+                    batch, s, bleed, bpp=bpp,
                     use_row_filters=use_row_filters, impl=impl)
                 qb, fb = np.asarray(qb), np.asarray(fb)
         for j, i in enumerate(idxs):

@@ -42,50 +42,54 @@ def run_suite(paths, strengths, oracle=None, out_dir=None, impl="auto",
     results = []
     total_in = total_out = 0
     total_mp = 0.0
-    total_time = 0.0
     parity_ok = True
 
-    for strength in strengths:
-        datas = [files[p] for p in paths]
-        t0 = time.time()
-        outs = compress_many(datas, strength, impl=impl, mesh=mesh)
-        dt = time.time() - t0
-        total_time += dt
-        for p, data, res in zip(paths, datas, outs):
-            name = os.path.basename(p)
-            if res.error is not None:
-                results.append(dict(file=name, strength=strength,
-                                    error=str(res.error)))
-                continue
-            img = codec.decode(data)
-            qimg = codec.decode(res.data)
-            mp = img.width * img.height / 1e6
-            total_mp += mp
-            p_db = psnr_rgba(img.rgba, qimg.rgba)
-            row = dict(
-                file=name, strength=strength, in_bytes=len(data),
-                out_bytes=len(res.data),
-                ratio=round(len(res.data) / len(data), 4),
-                psnr_db=round(p_db, 2) if p_db != float("inf") else "inf",
-            )
-            total_in += len(data)
-            total_out += len(res.data)
-            if oracle:
-                ref = run_oracle(oracle, data, strength)
-                row["byte_identical"] = res.data == ref
-                parity_ok &= row["byte_identical"]
-                if not row["byte_identical"]:
-                    row["oracle_bytes"] = len(ref)
-                    rimg = codec.decode(ref)
-                    row["oracle_psnr_db"] = round(psnr_rgba(img.rgba, rimg.rgba), 2)
-            results.append(row)
-            if out_dir:
-                os.makedirs(out_dir, exist_ok=True)
-                with open(os.path.join(
-                        out_dir, f"{name[:-4]}-s{strength}.png"), "wb") as f:
-                    f.write(res.data)
-            if verbose:
-                print(json.dumps(row), file=sys.stderr)
+    # ONE batched dispatch per shape bucket across ALL (file, strength)
+    # pairs — mixed strengths share lanes (per-image strength vector), so
+    # the reference's 1,089 sequential suite invocations collapse into a
+    # handful of device programs
+    jobs = [(p, s) for s in strengths for p in paths]
+    datas = [files[p] for p, _ in jobs]
+    per_job_strength = [s for _, s in jobs]
+    t0 = time.time()
+    outs = compress_many(datas, per_job_strength, impl=impl, mesh=mesh)
+    total_time = time.time() - t0
+
+    for (p, strength), data, res in zip(jobs, datas, outs):
+        name = os.path.basename(p)
+        if res.error is not None:
+            results.append(dict(file=name, strength=strength,
+                                error=str(res.error)))
+            continue
+        img = codec.decode(data)
+        qimg = codec.decode(res.data)
+        mp = img.width * img.height / 1e6
+        total_mp += mp
+        p_db = psnr_rgba(img.rgba, qimg.rgba)
+        row = dict(
+            file=name, strength=strength, in_bytes=len(data),
+            out_bytes=len(res.data),
+            ratio=round(len(res.data) / len(data), 4),
+            psnr_db=round(p_db, 2) if p_db != float("inf") else "inf",
+        )
+        total_in += len(data)
+        total_out += len(res.data)
+        if oracle:
+            ref = run_oracle(oracle, data, strength)
+            row["byte_identical"] = res.data == ref
+            parity_ok &= row["byte_identical"]
+            if not row["byte_identical"]:
+                row["oracle_bytes"] = len(ref)
+                rimg = codec.decode(ref)
+                row["oracle_psnr_db"] = round(psnr_rgba(img.rgba, rimg.rgba), 2)
+        results.append(row)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(
+                    out_dir, f"{name[:-4]}-s{strength}.png"), "wb") as f:
+                f.write(res.data)
+        if verbose:
+            print(json.dumps(row), file=sys.stderr)
 
     summary = dict(
         files=len(paths), strengths=list(strengths),

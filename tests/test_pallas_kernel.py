@@ -58,3 +58,15 @@ def test_matches_xla_path():
     qx, fx = optimize_batch(rows, 19, bpp=3)
     np.testing.assert_array_equal(np.asarray(qp), np.asarray(qx))
     np.testing.assert_array_equal(np.asarray(fp), np.asarray(fx))
+
+
+def test_mixed_strengths_one_batch():
+    import numpy as np
+    rng = np.random.default_rng(40)
+    rows = rng.integers(0, 256, size=(4, 5, 6 * 3), dtype=np.uint8)
+    strengths = [0, 7, 19, 40]
+    q, f = optimize_batch_pallas(rows, np.asarray(strengths), bpp=3)
+    for i, s in enumerate(strengths):
+        qr, fr = ref.optimize_image(rows[i], 3, s)
+        np.testing.assert_array_equal(np.asarray(q)[i], qr)
+        np.testing.assert_array_equal(np.asarray(f)[i], fr)

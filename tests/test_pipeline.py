@@ -73,3 +73,17 @@ def test_compress_many_mixed_with_errors(oracle, suite_dir):
     assert results[2].data == ref_out
     assert results[0].input_size == len(rose)
     assert results[0].output_size == len(ref_out)
+
+
+def test_sharded_mixed_strengths():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(41)
+    rows = rng.integers(0, 256, size=(8, 4, 5 * 3), dtype=np.uint8)
+    strengths = [0, 1, 5, 19, 40, 88, 19, 3]
+    q, f = optimize_batch_sharded(
+        rows, strengths, bpp=3, mesh=data_mesh(), impl="pallas")
+    for i, s in enumerate(strengths):
+        qr, fr = ref.optimize_image(rows[i], 3, s)
+        np.testing.assert_array_equal(q[i], qr)
+        np.testing.assert_array_equal(f[i], fr)
