@@ -167,7 +167,7 @@ def _compress_one(data: bytes, opts: Options, verbose_name: str,
     try:
         img = codec.decode(data, strip=opts.strip)
     except codec.PngDecodeError:
-        return None, None, READ_ERROR
+        return None, None, READ_ERROR, None
 
     if opts.verbose:
         print(f"  read {(len(data) + 500) // 1000}KB file", file=sys.stderr)
@@ -177,6 +177,13 @@ def _compress_one(data: bytes, opts: Options, verbose_name: str,
 
     q, filters = pipeline.optimize_rgba(
         img.rgba, opts.strength, opts.bleed_divider, mesh=mesh)
+
+    if opts.verbose:
+        # pngloss_image.c:310-325 (the per-row spinner is meaningless for a
+        # batched device dispatch; the summary lines match)
+        print("  compression complete", file=sys.stderr)
+        n = pipeline.unique_symbol_count(q, filters)
+        print(f"  used {n} unique symbols", file=sys.stderr)
 
     max_size = len(data) - 1 if opts.skip_if_larger else 0
     try:
@@ -196,17 +203,21 @@ def _compress_one(data: bytes, opts: Options, verbose_name: str,
             fallback = e.data + codec.encode(
                 img.rgba, row_filters=None, gamma=img.gamma,
                 color_transform=img.color_transform, chunks=img.chunks)
-        return None, fallback, TOO_LARGE_FILE
+        return None, fallback, TOO_LARGE_FILE, img
 
-    if opts.verbose:
-        kb = (len(out) + 500) // 1000
-        percent = 100.0 * len(out) / len(data)
-        print(f"  wrote {kb}KB file ({percent:.1f}% of original)", file=sys.stderr)
-        meta = sum(len(c.data) + 12 for c in img.chunks)
-        if meta > 0:
-            print(f"  copied {(meta + 500) // 1000}KB of additional PNG metadata",
-                  file=sys.stderr)
-    return out, None, SUCCESS
+    return out, None, SUCCESS, img
+
+
+def _print_wrote(opts, out: bytes, data: bytes, img) -> None:
+    if not opts.verbose:
+        return
+    kb = (len(out) + 500) // 1000
+    percent = 100.0 * len(out) / len(data)
+    print(f"  wrote {kb}KB file ({percent:.1f}% of original)", file=sys.stderr)
+    meta = sum(len(c.data) + 12 for c in img.chunks)
+    if meta > 0:
+        print(f"  copied {(meta + 500) // 1000}KB of additional PNG metadata",
+              file=sys.stderr)
 
 
 def run(argv: list[str], stdin: io.RawIOBase | None = None,
@@ -287,12 +298,18 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
                 retval = READ_ERROR
                 data = None
             if retval == SUCCESS:
-                out, fallback, retval = _compress_one(data, opts, display, mesh=mesh)
+                out, fallback, retval, img = _compress_one(
+                    data, opts, display, mesh=mesh)
                 if retval == SUCCESS:
                     if opts.using_stdout:
                         stdout.write(out)
                     else:
+                        if opts.verbose:
+                            print(f"  writing compressed image as {outname}",
+                                  file=sys.stderr)
                         retval = _write_atomic(outname, out)
+                    if retval == SUCCESS:
+                        _print_wrote(opts, out, data, img)
                 elif fallback is not None:
                     stdout.write(fallback)
 
@@ -364,6 +381,9 @@ def _run_batched(opts, mesh=None) -> int:
             if img.gamma != 0.45455:
                 print(f"  converted image from gamma {1.0 / img.gamma:2.1f}"
                       " to gamma 2.2", file=sys.stderr)
+            print("  compression complete", file=sys.stderr)
+            n = pipeline.unique_symbol_count(qs[j], fs[j])
+            print(f"  used {n} unique symbols", file=sys.stderr)
         max_size = len(data) - 1 if opts.skip_if_larger else 0
         try:
             out = codec.encode(
@@ -376,16 +396,11 @@ def _run_batched(opts, mesh=None) -> int:
                 print(f"  file exceeded maximum size of {kb}KB", file=sys.stderr)
             e[2] = TOO_LARGE_FILE
             continue
+        if opts.verbose:
+            print(f"  writing compressed image as {outname}", file=sys.stderr)
         e[2] = _write_atomic(outname, out)
-        if e[2] == SUCCESS and opts.verbose:
-            kb = (len(out) + 500) // 1000
-            percent = 100.0 * len(out) / len(data)
-            print(f"  wrote {kb}KB file ({percent:.1f}% of original)",
-                  file=sys.stderr)
-            meta = sum(len(c.data) + 12 for c in img.chunks)
-            if meta > 0:
-                print(f"  copied {(meta + 500) // 1000}KB of additional"
-                      " PNG metadata", file=sys.stderr)
+        if e[2] == SUCCESS:
+            _print_wrote(opts, out, data, img)
 
     for e in entries:
         if e[2] != SUCCESS:

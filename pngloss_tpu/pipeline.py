@@ -67,6 +67,41 @@ def optimize_rgba(rgba: np.ndarray, strength: int = 19, bleed: int = 2,
     return q[0], f[0]
 
 
+def unique_symbol_count(q_rgba: np.ndarray, row_filters: np.ndarray) -> int:
+    """Number of distinct residual symbols the optimizer emitted
+    (the reference's verbose 'used N unique symbols', pngloss_image.c:315-325).
+    Recomputed from the quantized image: the emitted byte equals the
+    recomputed residual byte under each row's winning filter."""
+    work, bpp = reduce_colorspace(q_rgba)
+    h, wb = work.shape
+    rows = work.astype(np.int32)
+    seen = np.zeros(256, bool)
+    prev = np.zeros(wb, np.int32)
+    for y in range(h):
+        cur = rows[y]
+        left = np.zeros(wb, np.int32)
+        left[bpp:] = cur[:-bpp]
+        diag = np.zeros(wb, np.int32)
+        diag[bpp:] = prev[:-bpp]
+        f = int(row_filters[y])
+        if f == 0:
+            pred = np.zeros(wb, np.int32)
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = prev
+        elif f == 3:
+            pred = (left + prev) // 2
+        else:
+            p = prev - diag
+            pd = left - diag
+            pred = np.where((np.abs(p) <= np.abs(pd)) & (np.abs(p) <= np.abs(p + pd)),
+                            left, np.where(np.abs(pd) <= np.abs(p + pd), prev, diag))
+        seen[(cur - pred) & 0xFF] = True
+        prev = cur
+    return int(seen.sum())
+
+
 def optimize_for_average_filter(rgba: np.ndarray, strength: int = 19) -> np.ndarray:
     """The embedding API (optimizeForAverageFilter, pngloss_image.c:29):
     fixed bleed=2, no row-filter output, every row must self-consistently
