@@ -228,8 +228,9 @@ void bits_to_samples(const uint8_t* row, int bit_depth, size_t count,
 struct Adam7Pass {
   int x0, y0, dx, dy;
 };
+// PNG spec §8.2 pass origins/steps
 const Adam7Pass kAdam7[7] = {{0, 0, 8, 8}, {4, 0, 8, 8}, {0, 4, 4, 8},
-                             {2, 4, 4, 8}, {0, 2, 2, 4}, {1, 2, 2, 4},
+                             {2, 0, 4, 4}, {0, 2, 2, 4}, {1, 0, 2, 2},
                              {0, 1, 1, 2}};
 
 }  // namespace

@@ -53,13 +53,13 @@ FILTER_NONE, FILTER_SUB, FILTER_UP, FILTER_AVG, FILTER_PAETH = range(5)
 # libpng PNG_FILTER_* masks, used for row_filters interchange with the CLI
 PNG_FILTER_MASKS = (0x08, 0x10, 0x20, 0x40, 0x80)
 
-_ADAM7 = (  # (x_start, y_start, x_step, y_step)
+_ADAM7 = (  # (x_start, y_start, x_step, y_step) — PNG spec §8.2
     (0, 0, 8, 8),
     (4, 0, 8, 8),
     (0, 4, 4, 8),
-    (2, 4, 4, 8),
+    (2, 0, 4, 4),
     (0, 2, 2, 4),
-    (1, 2, 2, 4),
+    (1, 0, 2, 2),
     (0, 1, 1, 2),
 )
 
