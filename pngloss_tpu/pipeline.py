@@ -110,6 +110,25 @@ def optimize_for_average_filter(rgba: np.ndarray, strength: int = 19) -> np.ndar
     return q
 
 
+def optimize_with_stride(buffer: np.ndarray, width: int, height: int,
+                         stride: int, strength: int = 19, bleed: int = 2,
+                         use_row_filters: bool = True):
+    """Stride-buffer embedding entry (optimize_with_stride,
+    pngloss_image.c:40-50): `buffer` is a flat uint8 array holding RGBA rows
+    `stride` bytes apart; pixels are modified IN PLACE, and the per-row
+    filter choices are returned."""
+    buf = buffer.reshape(-1)
+    rgba = np.stack([
+        buf[y * stride: y * stride + width * 4].reshape(width, 4)
+        for y in range(height)
+    ])
+    q, filters = optimize_rgba(rgba, strength, bleed,
+                               use_row_filters=use_row_filters)
+    for y in range(height):
+        buf[y * stride: y * stride + width * 4] = q[y].reshape(-1)
+    return filters
+
+
 def optimize_rgba_batch(rgbas, strength=19, bleed: int = 2, *,
                         use_row_filters: bool = True, mesh=None,
                         impl: str = "auto"):

@@ -87,3 +87,18 @@ def test_sharded_mixed_strengths():
         qr, fr = ref.optimize_image(rows[i], 3, s)
         np.testing.assert_array_equal(q[i], qr)
         np.testing.assert_array_equal(f[i], fr)
+
+
+def test_optimize_with_stride_in_place():
+    from pngloss_tpu.pipeline import optimize_with_stride
+    rng = np.random.default_rng(42)
+    w, h, stride = 6, 4, 6 * 4 + 8  # padded rows
+    buf = rng.integers(0, 256, size=(h * stride,), dtype=np.uint8)
+    rgba = np.stack([buf[y * stride: y * stride + w * 4].reshape(w, 4)
+                     for y in range(h)]).copy()
+    filters = optimize_with_stride(buf, w, h, stride, strength=19)
+    q_ref, f_ref = ref.optimize_rgba(rgba, 19)
+    np.testing.assert_array_equal(filters, f_ref)
+    got = np.stack([buf[y * stride: y * stride + w * 4].reshape(w, 4)
+                    for y in range(h)])
+    np.testing.assert_array_equal(got, q_ref)
