@@ -121,22 +121,44 @@ def _deriv_error_div128(qrow5, qprev_t, orow_t, oprev_t, bpp: int, b: int, w: in
     return total.reshape(NUM_FILTERS, b)
 
 
+def _rank_tables(ofreq):
+    """Equality-preserving dense rank (< 256) of each filter's 256-entry
+    original-frequency table — the 8-bit payload of the packed selection key
+    (rank order == value order, equal values get equal ranks)."""
+    def rank1(v):
+        order = jnp.argsort(v)
+        sv = v[order]
+        isnew = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), (sv[1:] != sv[:-1]).astype(jnp.int32)])
+        return jnp.zeros((256,), jnp.int32).at[order].set(jnp.cumsum(isnew))
+    return jax.vmap(rank1)(ofreq)
+
+
 def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
-                 hist, ofreq5, *, w, bpp, b, table, interpret):
+                 hist, ofreq5, *, w, bpp, b, table, interpret, packed):
     """One strength attempt for the whole batch. Returns per-filter results
     plus (5, B) cost and validity."""
     # the kernel wants every operand pre-tiled to 5B filter-major lanes
     # (in-kernel lane concatenation is not Mosaic-representable) and the
     # pixel/column-indexed operands in the 8-sublane-stride layout; the
     # dither buffers (e0/e1) are carried in stride-8 layout throughout
+    hist_in5 = _tile5(hist)
+    if packed:
+        # ofreq5 holds the rank tables; seed the packed keys per attempt
+        # (ranks differ per filter, the carried histogram does not)
+        hist_in5 = hist_in5 * 256 + ofreq5
     qrow8, hist5, e0n5, e1n5 = row_attempt_pallas(
         _tile5(s_vec), bleed, _tile5(_to_stride8(orow_t, w, bpp)),
         _tile5(_to_stride8(qprev_t, w, bpp)),
-        _tile5(e0), _tile5(e1), _tile5(hist), ofreq5,
-        w=w, bpp=bpp, b=b, table=table, interpret=interpret)
+        _tile5(e0), _tile5(e1), hist_in5, ofreq5,
+        w=w, bpp=bpp, b=b, table=table, interpret=interpret, packed=packed)
     qrow5 = _from_stride8(qrow8, w, bpp)
+    if packed:
+        counts = (hist5[:256] - hist_in5[:256]) >> 8
+        hist5 = hist5 >> 8
+    else:
+        counts = hist5[:256] - hist_in5[:256]
 
-    counts = hist5[:256] - _tile5(hist[:256])
     bits = jnp.where(hist5[:256] > 0, 33 + lax.clz(hist5[:256]), 0)
     total_cost = jnp.sum(counts * bits, axis=0).reshape(NUM_FILTERS, b)
     cost = total_cost + _deriv_error_div128(
@@ -168,10 +190,16 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
     h, wb, b = rows_t.shape
     w = wb // bpp
     table = 256 + band_pad
+    # packed-key selection is exact while freq*256 fits int32; freq is
+    # bounded by the image's channel-sample count
+    packed = h * w * bpp < (1 << 22)
 
-    # original-residual histograms, extended-table, filter-major lanes
+    # original-residual histograms (ranks thereof in packed mode),
+    # extended-table, filter-major lanes
     ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
         jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp))      # (B, 5, 256)
+    if packed:
+        ofreq = jax.vmap(_rank_tables)(ofreq)
     ofreq_ext = jnp.concatenate([ofreq, ofreq[:, :, :band_pad]], axis=2)
     ofreq5 = jnp.transpose(ofreq_ext, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
 
@@ -192,7 +220,8 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
             qrow5, hist5, e0n5, e1n5, cost, ok = _row_attempt(
                 s_vec[None, :], bleed, adaptive, orow_t, oprev_t, qprev_t,
                 e0, e1, hist, ofreq5,
-                w=w, bpp=bpp, b=b, table=table, interpret=interpret)
+                w=w, bpp=bpp, b=b, table=table, interpret=interpret,
+                packed=packed)
             found_real = jnp.any(ok, axis=0)                   # (B,)
             # where C would abort ("no good row" at strength 0,
             # pngloss_image.c:268), accept the min-cost row

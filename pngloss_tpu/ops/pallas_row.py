@@ -70,7 +70,8 @@ def _tdiv_shift(a, k: int):
 
 def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 hist_ref, ofreq_ref, qrow_ref, hist_out_ref, e0n_ref, e1n_ref,
-                err0_ref, *, w: int, bpp: int, b: int, table: int):
+                err0_ref, *, w: int, bpp: int, b: int, table: int,
+                packed: bool = False):
     """See module docstring. Shapes (L = 5B lanes, filter-major; S = 8):
       s_ref               : (1, L)        int32  per-lane strength
       bleed_ref           : (1, 1)        int32  (SMEM)
@@ -174,17 +175,32 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             # dense masked lexicographic selection (optimize_state.c:212-248)
             start = mn & 0xFF
             hist = hist_out_ref[:, :]
-            ofr = ofreq_ref[:, :]
-            inband = (iota_t >= start) & (iota_t <= start + (mx - mn))
-            fmax = jnp.max(jnp.where(inband, hist, -1), axis=0, keepdims=True)
-            m2 = inband & (hist == fmax)
-            omax = jnp.max(jnp.where(m2, ofr, -1), axis=0, keepdims=True)
-            m3 = m2 & (ofr == omax)
             idx_orig = start + (osym - mn)
-            any_orig = jnp.max(
-                jnp.where(m3 & (iota_t == idx_orig), 1, 0), axis=0, keepdims=True)
-            idx_min = jnp.min(jnp.where(m3, iota_t, table), axis=0, keepdims=True)
-            idx_best = jnp.where(any_orig > 0, idx_orig, idx_min)
+            if packed:
+                # hist holds the PACKED key freq*256 + rank(ofreq): one
+                # max-reduce replaces the two-level (freq, ofreq) compare,
+                # and remapping the original symbol's index to -1 folds the
+                # third tie-break into the min-reduce — 2 reductions/channel
+                # instead of 4. Valid while freq < 2^23 (checked by caller).
+                u = iota_t - start
+                inband = u.astype(jnp.uint32) <= (mx - mn).astype(jnp.uint32)
+                kmax = jnp.max(jnp.where(inband, hist, -1), axis=0, keepdims=True)
+                m3 = inband & (hist == kmax)
+                iota_adj = jnp.where(iota_t == idx_orig, -1, iota_t)
+                sel = jnp.min(jnp.where(m3, iota_adj, table), axis=0, keepdims=True)
+                idx_best = jnp.where(sel < 0, idx_orig, sel)
+            else:
+                ofr = ofreq_ref[:, :]
+                inband = (iota_t >= start) & (iota_t <= start + (mx - mn))
+                fmax = jnp.max(jnp.where(inband, hist, -1), axis=0, keepdims=True)
+                m2 = inband & (hist == fmax)
+                omax = jnp.max(jnp.where(m2, ofr, -1), axis=0, keepdims=True)
+                m3 = m2 & (ofr == omax)
+                any_orig = jnp.max(
+                    jnp.where(m3 & (iota_t == idx_orig), 1, 0),
+                    axis=0, keepdims=True)
+                idx_min = jnp.min(jnp.where(m3, iota_t, table), axis=0, keepdims=True)
+                idx_best = jnp.where(any_orig > 0, idx_orig, idx_min)
             sym_byte = idx_best & 0xFF
             back_c = (idx_best - start) + mn + predw
 
@@ -196,7 +212,8 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 here_c = jnp.where(transp, 0, here_c)
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
-            hist_out_ref[:, :] = hist + ((iota_t & 0xFF) == sym_byte)
+            inc = (iota_t & 0xFF) == sym_byte
+            hist_out_ref[:, :] = hist + (inc * 256 if packed else inc)
             backs.append(back_c)
             heres.append(here_c)
 
@@ -259,13 +276,14 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "bpp", "b", "table", "interpret"))
+    jax.jit, static_argnames=("w", "bpp", "b", "table", "interpret", "packed"))
 def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5, *,
                        w: int, bpp: int, b: int, table: int,
-                       interpret: bool = False):
+                       interpret: bool = False, packed: bool = False):
     """Quantize one row for B images x 5 filters. Array inputs are pre-tiled
     to L = 5B filter-major lanes and pixel/column-indexed arrays use the
-    8-sublane stride layout. Returns
+    8-sublane stride layout. In packed mode hist5 carries freq*256+rank
+    packed keys (ofreq5 is then unused by the kernel). Returns
     (qrow (8W,L), hist (TABLE,L), e0n (8(W+5),L), e1n (8(W+5),L))."""
     l5 = NUM_FILTERS * b
     rows_px = STRIDE * w
@@ -276,7 +294,8 @@ def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5, *,
         jax.ShapeDtypeStruct((rows_e, l5), jnp.int32),
         jax.ShapeDtypeStruct((rows_e, l5), jnp.int32),
     )
-    kernel = functools.partial(_row_kernel, w=w, bpp=bpp, b=b, table=table)
+    kernel = functools.partial(_row_kernel, w=w, bpp=bpp, b=b, table=table,
+                               packed=packed)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # operand footprint (everything int32, 5B lanes): 3 pixel buffers,

@@ -222,12 +222,21 @@ def compress_many(files, strength: int = 19, bleed: int = 2, *,
         with tracing.stage("host_decode"):
             return codec.decode(data, strip=strip)
 
+    # dedup identical inputs (e.g. the suite's same-file-many-strengths
+    # pattern): decode each distinct byte string once
+    distinct: dict[bytes, list[int]] = {}
+    for i, d in enumerate(files):
+        distinct.setdefault(d, []).append(i)
+    decoded: list = [None] * len(files)
+    work_items = [(idxs, files[idxs[0]]) for idxs in distinct.values()]
     if decode_workers > 1:
         with _futures.ThreadPoolExecutor(decode_workers) as pool:
-            decoded = list(pool.map(
-                lambda d: _try(_decode, d), files))
+            uniq = list(pool.map(lambda it: _try(_decode, it[1]), work_items))
     else:
-        decoded = [_try(_decode, d) for d in files]
+        uniq = [_try(_decode, it[1]) for it in work_items]
+    for (idxs, _), res in zip(work_items, uniq):
+        for i in idxs:
+            decoded[i] = res
 
     ok_idx = []
     rgbas = []
