@@ -23,7 +23,7 @@ def main() -> None:
     from pngloss_tpu.ops import optimize_batch_auto
     from pngloss_tpu.pipeline import reduce_colorspace
 
-    batch = int(os.environ.get("PNGLOSS_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("PNGLOSS_BENCH_BATCH", "64"))
     strength = int(os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
     impl = os.environ.get("PNGLOSS_BENCH_IMPL", "auto")
 

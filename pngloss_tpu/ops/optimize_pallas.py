@@ -276,7 +276,10 @@ def _optimize_batch_pallas_jit(rows, strength, bleed, *, bpp, band_pad,
 
 
 def max_batch_for(w: int, bpp: int, band_pad: int,
-                  vmem_budget: int = 12 << 20) -> int:
+                  vmem_budget: int = 44 << 20) -> int:
+    # the 44MB default is empirical: a 43MB operand footprint compiles and
+    # runs on v5e (the kernel's vmem_limit_bytes is raised to match);
+    # throughput saturates around B=64 for 512-wide RGB rows
     """Largest per-kernel batch that fits the VMEM budget (all kernel
     operands are int32; 5B-lane arrays dominate)."""
     table = 256 + band_pad
