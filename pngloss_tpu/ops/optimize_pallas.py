@@ -182,11 +182,16 @@ def _select_f(arr5, best_f, b: int):
 
 def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                             band_pad: int, use_row_filters: bool = True,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            return_carry: bool = False,
+                            ofreq_rows=None):
     """Optimize a batch in transposed layout.
 
     rows_t: (H, W*bpp, B) int32. Returns (qrows_t (H, W*bpp, B) int32,
-    filters (H, B) int8)."""
+    filters (H, B) int8). ofreq_rows overrides the rows used for the
+    original-frequency pre-pass (the pre-pass always covers the WHOLE
+    image, optimize_state.c:66-83 — pass the full image when rows_t is a
+    slice of it)."""
     h, wb, b = rows_t.shape
     w = wb // bpp
     table = 256 + band_pad
@@ -195,9 +200,11 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
     packed = h * w * bpp < (1 << 22)
 
     # original-residual histograms (ranks thereof in packed mode),
-    # extended-table, filter-major lanes
+    # extended-table, filter-major lanes — ALWAYS over the whole image
+    src_rows = rows_t if ofreq_rows is None else ofreq_rows
     ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
-        jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp))      # (B, 5, 256)
+        jnp.moveaxis(src_rows, 2, 0).reshape(
+            b, src_rows.shape[0], w, bpp))                     # (B, 5, 256)
     if packed:
         ofreq = jax.vmap(_rank_tables)(ofreq)
     ofreq_ext = jnp.concatenate([ofreq, ofreq[:, :, :band_pad]], axis=2)
@@ -258,8 +265,72 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
         jnp.zeros((table, b), jnp.int32),
     )
     ys = jnp.arange(h, dtype=jnp.int32)
-    _, (qrows_t, filters) = lax.scan(y_step, carry0, (rows_t, ys))
+    carry_f, (qrows_t, filters) = lax.scan(y_step, carry0, (rows_t, ys))
+    if return_carry:
+        return qrows_t, filters, carry_f
     return qrows_t, filters
+
+
+def _image_kernel_eligible(h: int, w: int, bpp: int,
+                           use_row_filters: bool) -> bool:
+    """The whole-image kernel requires CLI mode (only row 0 is adaptive, so
+    rows >= 1 never hit the strength fallback) and packed-key range.
+
+    EXPERIMENTAL, opt-in via PNGLOSS_IMAGE_KERNEL=1: it is bit-exact on
+    chip but currently no faster than the per-row path — the ~33MB
+    scoped-VMEM ceiling caps its batch at ~24 images and the in-kernel
+    winner-broadcast/cost tail costs what the removed XLA glue saved."""
+    import os
+    if not os.environ.get("PNGLOSS_IMAGE_KERNEL"):
+        return False
+    return use_row_filters and h >= 2 and h * w * bpp < (1 << 22)
+
+
+@functools.partial(jax.jit, static_argnames=("bpp", "band_pad", "interpret"))
+def _optimize_batch_pallas_image_jit(rows, strength, bleed, *, bpp, band_pad,
+                                     interpret):
+    """Row 0 via the per-row path (adaptive check + fallback), rows 1..H-1
+    in ONE whole-image kernel launch (pallas_image.py)."""
+    from pngloss_tpu.ops.pallas_image import image_rows_pallas
+
+    b, h, wb = rows.shape
+    w = wb // bpp
+    table = 256 + band_pad
+    rows_t = jnp.transpose(rows.astype(jnp.int32), (1, 2, 0))   # (H, Wb, B)
+
+    ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
+        jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp))
+    ranks = jax.vmap(_rank_tables)(ofreq)
+    rank_ext = jnp.concatenate([ranks, ranks[:, :, :band_pad]], axis=2)
+    rank5 = jnp.transpose(rank_ext, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
+
+    strength = jnp.asarray(strength, jnp.int32)
+    bleed = jnp.asarray(bleed, jnp.int32)
+
+    # row 0 through the per-row machinery (reusing its scan body)
+    q0, f0, carry = optimize_batch_pallas_t(
+        rows_t[:1], strength, bleed, bpp=bpp, band_pad=band_pad,
+        use_row_filters=True, interpret=interpret, return_carry=True,
+        ofreq_rows=rows_t)
+    qprev_t, oprev_t, e0, e1, hist = carry
+
+    s_vec = jnp.broadcast_to(strength, (1, b)).astype(jnp.int32)
+    orig5_rows = jax.vmap(
+        lambda r: _tile5(_to_stride8(r, w, bpp)))(rows_t[1:])
+    qrows5, filt5 = image_rows_pallas(
+        _tile5(s_vec), bleed, rank5, orig5_rows,
+        _tile5(_to_stride8(qprev_t, w, bpp)),
+        _tile5(_to_stride8(oprev_t, w, bpp)),
+        _tile5(e0), _tile5(e1), _tile5(hist),
+        w=w, h=h, bpp=bpp, b=b, table=table, interpret=interpret)
+
+    q_rest = qrows5[:, :, :b].reshape(h - 1, w, STRIDE, b)[:, :, :bpp]
+    q_rest = q_rest.reshape(h - 1, wb, b)
+    f_rest = filt5[:, 0, :b]
+    qrows_t = jnp.concatenate([q0, q_rest])
+    filters = jnp.concatenate([f0, f_rest.astype(jnp.int8)])
+    q = jnp.transpose(qrows_t, (2, 0, 1)).astype(jnp.uint8)
+    return q, jnp.transpose(filters, (1, 0))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -321,17 +392,28 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
         band_pad = band_pad_for(s_max)
     s_arr = (jnp.asarray(strength, jnp.int32) if per_image
              else jnp.int32(strength))
+    use_image = _image_kernel_eligible(rows.shape[1], wb // bpp, bpp,
+                                       use_row_filters)
+
+    def _run(part, s_part):
+        if use_image:
+            return _optimize_batch_pallas_image_jit(
+                part, s_part, jnp.int32(bleed), bpp=bpp, band_pad=band_pad,
+                interpret=interpret)
+        return _optimize_batch_pallas_jit(
+            part, s_part, jnp.int32(bleed), bpp=bpp, band_pad=band_pad,
+            use_row_filters=use_row_filters, interpret=interpret)
+
     if traced:
         # inside an outer trace (shard_map/jit): no host-side chunking
-        return _optimize_batch_pallas_jit(
-            rows, s_arr, jnp.int32(bleed), bpp=bpp, band_pad=band_pad,
-            use_row_filters=use_row_filters, interpret=interpret)
-    chunk = min(b, max_batch_for(wb // bpp, bpp, band_pad))
+        return _run(rows, s_arr)
+    if use_image:
+        from pngloss_tpu.ops.pallas_image import max_batch_image
+        chunk = min(b, max_batch_image(wb // bpp, bpp, band_pad))
+    else:
+        chunk = min(b, max_batch_for(wb // bpp, bpp, band_pad))
     if b <= chunk:
-        return _optimize_batch_pallas_jit(
-            rows, s_arr, jnp.int32(bleed), bpp=bpp,
-            band_pad=band_pad, use_row_filters=use_row_filters,
-            interpret=interpret)
+        return _run(rows, s_arr)
     qs, fs = [], []
     for i in range(0, b, chunk):
         part = rows[i:i + chunk]
@@ -343,10 +425,7 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
             if per_image:
                 s_part = jnp.concatenate(
                     [s_part, jnp.broadcast_to(s_part[:1], (chunk - n,))])
-        q, f = _optimize_batch_pallas_jit(
-            part, s_part, jnp.int32(bleed), bpp=bpp,
-            band_pad=band_pad, use_row_filters=use_row_filters,
-            interpret=interpret)
+        q, f = _run(part, s_part)
         qs.append(np.asarray(q)[:n])
         fs.append(np.asarray(f)[:n])
     return np.concatenate(qs), np.concatenate(fs)

@@ -1,0 +1,400 @@
+"""Whole-image Pallas kernel: rows 1..H-1 in ONE kernel launch.
+
+Profiling showed the per-row pipeline spends ~2/3 of its time outside the
+pixel scan: 512 kernel launches per image batch, per-row HBM round-trips of
+every carried buffer, and the XLA glue (tiling, winner selection, cost)
+between launches. This kernel eliminates all of it by keeping the carried
+state resident in VMEM across rows and running the row loop as a Pallas
+GRID over y (the TPU grid is sequential, so VMEM scratch persists across
+steps and the original rows stream in / quantized rows stream out through
+the automatic block pipeline).
+
+Two structural observations make this tractable:
+  * In CLI mode (row_filters recorded) only ROW 0 runs the adaptive MSAD
+    self-check (pngloss_image.c:209-210), so rows >= 1 can never fail and
+    the strength-fallback while-loop (pngloss_image.c:266-275) is
+    unreachable — the whole-image kernel needs exactly one attempt per row,
+    no scalar-cond loop. Row 0 is computed by the existing per-row path and
+    seeds this kernel's state.
+  * The winner filter's state must be re-broadcast to all 5 filter lane
+    blocks between rows. With filter-major lanes this is
+        sum over k of roll_lanes(mask * X, k*B)
+    — static lane rotations, no gathers (mask selects the winning block,
+    the circular roll-sum replicates it into every block).
+
+Everything else (row cost via the histogram-delta identity, derivative
+error with 8-row group sums via static sublane rolls, packed-key symbol
+selection) is dense vector work inherited from the per-row design.
+Packed-key mode only (the caller gates on image size; huge images fall
+back to the per-row path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pngloss_tpu.ops.pallas_row import (
+    NUM_FILTERS,
+    STRIDE,
+    _tdiv,
+    _tdiv_pos,
+    _tdiv_shift,
+)
+
+
+def _roll_bcast(x, b: int):
+    """Replicate the (masked) winning lane block into all 5 blocks:
+    out(f, i) = sum_k x(k, i) for filter-major lanes of width b."""
+    out = x
+    for k in range(1, NUM_FILTERS):
+        out = out + pltpu.roll(x, k * b, axis=1)
+    return out
+
+
+def _bitlength(n):
+    """bitlength(n) for int32 0 < n < 2^24 via the f32 exponent field
+    (exact: the conversion is exact below 2^24). Returns garbage for n<=0 —
+    callers mask. Avoids relying on a clz lowering."""
+    f = n.astype(jnp.float32)
+    exp = (lax.bitcast_convert_type(f, jnp.int32) >> 23) & 0xFF
+    return exp - 126  # floor(log2 n) + 1
+
+
+def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
+                  qprev0_ref, oprev0_ref, e00_ref, e10_ref, hist0_ref,
+                  qrow_out_ref, filt_out_ref,
+                  err0_s, e0n_s, e1n_s, hist_s, qprev_s, oprev_s, dma_sem,
+                  *, w: int, bpp: int, b: int, table: int):
+    """Grid over y = 1..H-1 (program_id 0 = y-1). Shapes (L = 5B lanes):
+      s_ref       (1, L)        per-lane strength
+      bleed_ref   (1, 1)        SMEM
+      rank_ref    (TABLE, L)    8-bit ofreq ranks (packed-key payload)
+      orig_row_ref(1, 8W, L)    this row's original pixels (blocked input)
+      qprev0_ref / oprev0_ref / e00_ref / e10_ref / hist0_ref:
+                  row-0 winner state (read at the first grid step)
+      qrow_out_ref(1, 8W, L)    quantized row (blocked output)
+      filt_out_ref(1, 1, L)     winner filter id per lane (blocked output)
+      hist_fin_ref/e0_fin_ref/e1_fin_ref: final state (written at last step)
+      *_s         VMEM scratch persisting across grid steps
+    """
+    l5 = s_ref.shape[1]
+    bleed = bleed_ref[0, 0]
+    s = s_ref[:, :]
+    band = s + 1
+    iota_t = lax.broadcasted_iota(jnp.int32, (table, 1), 0)
+    f_lane = lax.broadcasted_iota(jnp.int32, (1, l5), 1) // (l5 // 5)
+    y = pl.program_id(0)
+
+    @pl.when(y == 0)
+    def _init():
+        # the row-0 state inputs stay HBM-resident (they are read once;
+        # keeping them out of the scoped VMEM budget is what lets the
+        # batch fit) — copy them in explicitly
+        for src, dst in ((qprev0_ref, qprev_s), (oprev0_ref, oprev_s),
+                         (e00_ref, err0_s), (e10_ref, e0n_s),
+                         (hist0_ref, hist_s)):
+            cp = pltpu.make_async_copy(src, dst, dma_sem)
+            cp.start()
+            cp.wait()
+
+    e1n_s[:, :] = jnp.zeros_like(e1n_s)
+    # packed-key work table (freq*256 + per-filter rank); the carried
+    # histogram hist_s holds plain winner frequencies
+    hw_seed = hist_s[:, :] * 256 + rank_ref[:, :]
+    hist_s[:, :] = hw_seed
+
+    def body(x, carry):
+        left, prev_above = carry
+        orig_px = orig_row_ref[0, pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
+        above_px = qprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
+        ce_px = err0_s[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
+
+        backs = []
+        heres = []
+        for c in range(bpp):
+            orig_c = orig_px[c:c + 1, :]
+            above_c = above_px[c:c + 1, :]
+            diag_c = prev_above[c:c + 1, :]
+            left_c = left[c]
+
+            avg = (above_c + left_c) >> 1
+            p = above_c - diag_c
+            pd = left_c - diag_c
+            p_left = jnp.abs(p)
+            p_above = jnp.abs(pd)
+            p_d = jnp.abs(p + pd)
+            paeth = jnp.where(
+                (p_left <= p_above) & (p_left <= p_d), left_c,
+                jnp.where(p_above <= p_d, above_c, diag_c))
+            pred = jnp.where(
+                f_lane == 1, left_c,
+                jnp.where(f_lane == 2, above_c,
+                          jnp.where(f_lane == 3, avg,
+                                    jnp.where(f_lane == 4, paeth, 0))))
+
+            lane = 3 if (bpp == 2 and c == 1) else c
+            ce = ce_px[lane:lane + 1, :]
+            here_c = orig_c + ce
+
+            osym = orig_c - pred
+            predw = pred + jnp.where(osym < -128, -256,
+                                     jnp.where(osym > 127, 256, 0))
+            osym = orig_c - predw
+            filt = here_c - predw
+
+            q = _tdiv_pos(jnp.abs(filt), band)
+            mn = jnp.where(filt < 0, -q * band - s, q * band)
+            mx = mn + s
+            mn = jnp.where(mn + predw < 0, -predw, mn)
+            mx = jnp.where(mx + predw > 255, 255 - predw, mx)
+            inv = mx < mn
+            over = inv & (filt + predw > 255)
+            under = inv & (filt + predw < 0)
+            mn = jnp.where(over, 255 - predw, jnp.where(under, -predw, mn))
+            mx = jnp.where(over, 255 - predw, jnp.where(under, -predw, mx))
+
+            start = mn & 0xFF
+            hist = hist_s[:, :]
+            idx_orig = start + (osym - mn)
+            u = iota_t - start
+            inband = u.astype(jnp.uint32) <= (mx - mn).astype(jnp.uint32)
+            kmax = jnp.max(jnp.where(inband, hist, -1), axis=0, keepdims=True)
+            m3 = inband & (hist == kmax)
+            iota_adj = jnp.where(iota_t == idx_orig, -1, iota_t)
+            sel = jnp.min(jnp.where(m3, iota_adj, table), axis=0, keepdims=True)
+            idx_best = jnp.where(sel < 0, idx_orig, sel)
+            sym_byte = idx_best & 0xFF
+            back_c = (idx_best - start) + mn + predw
+
+            if bpp % 2 == 0 and c == bpp - 1:
+                transp = orig_c == 0
+                back_c = jnp.where(transp, 0, back_c)
+                here_c = jnp.where(transp, 0, here_c)
+                sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
+
+            hist_s[:, :] = hist + ((iota_t & 0xFF) == sym_byte) * 256
+            backs.append(back_c)
+            heres.append(here_c)
+
+        ri8 = lax.broadcasted_iota(jnp.int32, (STRIDE, l5), 0)
+        back_px = jnp.zeros((STRIDE, l5), jnp.int32)
+        for c in range(bpp):
+            back_px = jnp.where(ri8 == c, backs[c], back_px)
+        qrow_out_ref[0, pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back_px
+
+        lanes = {1: [0, 0, 0, None], 2: [0, 0, 0, 1],
+                 3: [0, 1, 2, None], 4: [0, 1, 2, 3]}[bpp]
+        diffs = [heres[c] - backs[c] for c in range(bpp)]
+        twos_l, threes_l, fours_l, five_l, rem_l = ([None] * 4 for _ in range(5))
+        cache = {}
+        for i in range(4):
+            c = lanes[i]
+            if c is None:
+                continue
+            if c not in cache:
+                d = _tdiv(diffs[c], bleed)
+                twos = _tdiv_shift(d, 4)
+                d = d - twos * 4
+                threes = _tdiv_shift(d, 3)
+                d = d - threes * 2
+                fours = _tdiv(d * 2, jnp.int32(9))
+                d = d - fours * 2
+                five = _tdiv_shift(d, 1)
+                d = d - five
+                cache[c] = (twos, threes, fours, five, d)
+            twos_l[i], threes_l[i], fours_l[i], five_l[i], rem_l[i] = cache[c]
+
+        def compose(vals, rows_n):
+            ri = lax.broadcasted_iota(jnp.int32, (rows_n, l5), 0) & 7
+            if (vals[0] is not None and vals[0] is vals[1]
+                    and vals[1] is vals[2]):
+                tail = jnp.zeros((rows_n, l5), jnp.int32)
+                if vals[3] is not None:
+                    tail = jnp.where(ri == 3, vals[3], tail)
+                return jnp.where(ri <= 2, vals[0], tail)
+            out = jnp.zeros((rows_n, l5), jnp.int32)
+            for i in range(4):
+                if vals[i] is not None:
+                    out = jnp.where(ri == i, vals[i], out)
+            return out
+
+        bi8 = lax.broadcasted_iota(jnp.int32, (2 * STRIDE, l5), 0) >> 3
+        u0 = jnp.where(bi8 == 0, compose(rem_l, 2 * STRIDE),
+                       compose(threes_l, 2 * STRIDE))
+        r0 = pl.multiple_of((x + 3) * STRIDE, 8)
+        err0_s[pl.ds(r0, 2 * STRIDE), :] = err0_s[pl.ds(r0, 2 * STRIDE), :] + u0
+        bi20 = lax.broadcasted_iota(jnp.int32, (5 * STRIDE, l5), 0) >> 3
+        u1 = jnp.where((bi20 == 0) | (bi20 == 4), compose(twos_l, 5 * STRIDE),
+                       jnp.where(bi20 == 2, compose(five_l, 5 * STRIDE),
+                                 compose(fours_l, 5 * STRIDE)))
+        r1 = pl.multiple_of(x * STRIDE, 8)
+        e0n_s[pl.ds(r1, 5 * STRIDE), :] = e0n_s[pl.ds(r1, 5 * STRIDE), :] + u1
+        bi12 = lax.broadcasted_iota(jnp.int32, (3 * STRIDE, l5), 0) >> 3
+        u2 = jnp.where(bi12 == 1, compose(threes_l, 3 * STRIDE),
+                       compose(twos_l, 3 * STRIDE))
+        r2 = pl.multiple_of((x + 1) * STRIDE, 8)
+        e1n_s[pl.ds(r2, 3 * STRIDE), :] = e1n_s[pl.ds(r2, 3 * STRIDE), :] + u2
+
+        return tuple(backs), above_px
+
+    left0 = tuple(jnp.zeros((1, l5), jnp.int32) for _ in range(bpp))
+    lax.fori_loop(0, w, body, (left0, jnp.zeros((STRIDE, l5), jnp.int32)))
+
+    # ---- row cost (hist-delta identity) + derivative error, per lane ----
+    hw = hist_s[:, :]
+    counts = (hw[:256] - hw_seed[:256]) >> 8
+    freq = hw[:256] >> 8
+    bits = jnp.where(freq > 0, 65 - _bitlength(freq), 0)
+    total_cost = jnp.sum(counts * bits, axis=0, keepdims=True)   # (1, L)
+
+    qrow = qrow_out_ref[0, :, :]
+    orig = orig_row_ref[0, :, :]
+    qprev = qprev_s[:, :]
+    oprev = oprev_s[:, :]
+    rows8 = STRIDE * w
+    ri = lax.broadcasted_iota(jnp.int32, (rows8, l5), 0) & 7
+    if bpp == 1:
+        wv = jnp.where(ri == 0, 3, 0)
+    elif bpp == 2:
+        wv = jnp.where(ri == 0, 3, jnp.where(ri == 1, 1, 0))
+    else:
+        wv = (ri < bpp).astype(jnp.int32)
+
+    def shift8(a):
+        z = jnp.zeros_like(a)
+        rolled = pltpu.roll(a, STRIDE, axis=0)
+        rr = lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        return jnp.where(rr < STRIDE, z, rolled)
+
+    def dist(new_pair, old_pair):
+        d = (qrow - new_pair) - (orig - old_pair)
+        return wv * d * d
+
+    term = (dist(qprev, oprev)
+            + dist(shift8(qprev), shift8(oprev))
+            + dist(shift8(qrow), shift8(orig)))
+    # per-pixel 8-row group sums via log-step rolls (group head at r%8==0)
+    g = term
+    for k in (1, 2, 4):
+        gr = pltpu.roll(g, rows8 - k, axis=0)   # == roll by -k (circular)
+        rr = lax.broadcasted_iota(jnp.int32, g.shape, 0)
+        g = g + jnp.where(rr >= rows8 - k, 0, gr)
+    head = (ri == 0)
+    e_hi = jnp.sum(jnp.where(head, g >> 7, 0), axis=0, keepdims=True)
+    e_lo = jnp.sum(jnp.where(head, g & 127, 0), axis=0, keepdims=True)
+    cost = total_cost + e_hi + (e_lo >> 7)
+
+    # ---- winner mask: min cost over the 5 filter blocks, ties -> lowest f.
+    # The circular roll-min places the global per-image minimum in EVERY
+    # lane; earlier_eq(f) = any block < f also achieving it (roll +k*b
+    # brings block f-k's value to block f, gated on f >= k).
+    mall = cost
+    for k in range(1, NUM_FILTERS):
+        mall = jnp.minimum(
+            mall, pltpu.roll(cost, NUM_FILTERS * b - k * b, axis=1))
+    eq = (cost == mall).astype(jnp.int32)
+    earlier = jnp.zeros_like(eq)
+    for k in range(1, NUM_FILTERS):
+        earlier = earlier + jnp.where(
+            f_lane >= k, pltpu.roll(eq, k * b, axis=1), 0)
+    maski = eq * (earlier == 0)
+
+    # ---- commit winner state (broadcast via masked roll-sum). Each
+    # broadcast accumulates into its destination ref holding ONE masked
+    # temporary — naive expressions kept several row-sized temporaries
+    # live at once and blew the ~33MB scoped-VMEM ceiling ----
+    filt_out_ref[0, :, :] = _roll_bcast(maski * f_lane, b)
+    hist_s[:, :] = _roll_bcast(maski * (hw >> 8), b)
+
+    def bcast_into(dst, masked):
+        dst[:, :] = masked
+        for k in range(1, NUM_FILTERS):
+            dst[:, :] = dst[:, :] + pltpu.roll(masked, k * b, axis=1)
+
+    mq = maski * qrow
+    bcast_into(qprev_s, mq)
+    qrow_out_ref[0, :, :] = qprev_s[:, :]
+    del mq
+    m0 = maski * e0n_s[:, :]
+    bcast_into(err0_s, m0)
+    del m0
+    m1 = maski * e1n_s[:, :]
+    bcast_into(e0n_s, m1)
+    del m1
+    oprev_s[:, :] = orig
+
+
+def max_batch_image(w: int, bpp: int, band_pad: int) -> int:
+    """Largest batch whose image-kernel VMEM footprint (double-buffered
+    blocked rows + persistent scratch + ~4 row-sized temporaries in the
+    cost/commit section) fits the ~33.6MB scoped ceiling."""
+    table = 256 + band_pad
+    per_b = 20 * (10 * STRIDE * w + 3 * STRIDE * (w + 5) + 2 * table)
+    return max(8, min(512, ((30 << 20) // per_b) // 8 * 8))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w", "h", "bpp", "b", "table", "interpret"))
+def image_rows_pallas(s5, bleed, rank5, orig5_rows, qprev0, oprev0, e00, e10,
+                      hist0, *, w: int, h: int, bpp: int, b: int, table: int,
+                      interpret: bool = False):
+    """Run rows 1..H-1 in one kernel. orig5_rows: (H-1, 8W, L) pre-tiled
+    original rows 1..H-1; the row-0 winner state seeds the scratch. Returns
+    (qrows (H-1, 8W, L) winner-broadcast, filters (H-1, 1, L),
+     filters (H-1, 1, L))."""
+    l5 = NUM_FILTERS * b
+    rows_px = STRIDE * w
+    rows_e = STRIDE * (w + 5)
+    n = h - 1
+    grid = (n,)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, rows_px, l5), jnp.int32),
+        jax.ShapeDtypeStruct((n, 1, l5), jnp.int32),
+    )
+    kernel = functools.partial(
+        _image_kernel, w=w, bpp=bpp, b=b, table=table)
+    vmem_bytes = 33 << 20   # the hardware scoped-vmem ceiling on v5e
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=[
+            vm, sm, vm,
+            pl.BlockSpec((1, rows_px, l5), lambda y: (y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # qprev0 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # oprev0 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # e00 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # e10 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # hist0 (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rows_px, l5), lambda y: (y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l5), lambda y: (y, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_e, l5), jnp.int32),   # err0
+            pltpu.VMEM((rows_e, l5), jnp.int32),   # e0n (next row 1)
+            pltpu.VMEM((rows_e, l5), jnp.int32),   # e1n (next row 2)
+            pltpu.VMEM((table, l5), jnp.int32),    # hist (packed in-row)
+            pltpu.VMEM((rows_px, l5), jnp.int32),  # qprev
+            pltpu.VMEM((rows_px, l5), jnp.int32),  # oprev
+            pltpu.SemaphoreType.DMA,               # init-state copies
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(
+        s5.astype(jnp.int32),
+        jnp.reshape(bleed.astype(jnp.int32), (1, 1)),
+        rank5, orig5_rows, qprev0, oprev0, e00, e10, hist0,
+    )

@@ -70,3 +70,14 @@ def test_mixed_strengths_one_batch():
         qr, fr = ref.optimize_image(rows[i], 3, s)
         np.testing.assert_array_equal(np.asarray(q)[i], qr)
         np.testing.assert_array_equal(np.asarray(f)[i], fr)
+
+
+def test_image_kernel_opt_in(monkeypatch):
+    """The experimental whole-image kernel (rows 1..H-1 in one launch)
+    stays bit-exact when enabled."""
+    monkeypatch.setenv("PNGLOSS_IMAGE_KERNEL", "1")
+    rng = np.random.default_rng(50)
+    for bpp in (1, 3, 4):
+        rows = rng.integers(0, 256, size=(2, 6, 7 * bpp), dtype=np.uint8)
+        _check(rows, bpp, 19)
+        _check(rows, bpp, 0)
