@@ -110,11 +110,13 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
     hist_s[:, :] = hw_seed
 
     def body(x, carry):
-        left, prev_above = carry
+        left, prev_above, prev_orig, prev_oprev, e_hi, e_lo = carry
         orig_px = orig_row_ref[0, pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         above_px = qprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
+        oprev_px = oprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         ce_px = err0_s[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
 
+        e_px = jnp.zeros_like(e_hi)
         backs = []
         heres = []
         for c in range(bpp):
@@ -179,6 +181,17 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
             hist_s[:, :] = hist + ((iota_t & 0xFF) == sym_byte) * 256
+
+            # derivative error (optimize_state.c:265-289), accumulated
+            # in-scan: all six neighbor values are at hand, so the tail
+            # needs no row-sized temporaries. Channel weight = how many of
+            # the 4 color_delta lanes this channel feeds.
+            wgt = {1: [3], 2: [3, 1], 3: [1, 1, 1], 4: [1, 1, 1, 1]}[bpp][c]
+            d_above = (back_c - above_c) - (orig_c - oprev_px[c:c + 1, :])
+            d_diag = (back_c - diag_c) - (orig_c - prev_oprev[c:c + 1, :])
+            d_left = (back_c - left_c) - (orig_c - prev_orig[c:c + 1, :])
+            e_px = e_px + wgt * (d_above * d_above + d_diag * d_diag
+                                 + d_left * d_left)
             backs.append(back_c)
             heres.append(here_c)
 
@@ -241,10 +254,15 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
         r2 = pl.multiple_of((x + 1) * STRIDE, 8)
         e1n_s[pl.ds(r2, 3 * STRIDE), :] = e1n_s[pl.ds(r2, 3 * STRIDE), :] + u2
 
-        return tuple(backs), above_px
+        e_hi = e_hi + (e_px >> 7)
+        e_lo = e_lo + (e_px & 127)
+        return (tuple(backs), above_px, orig_px, oprev_px, e_hi, e_lo)
 
     left0 = tuple(jnp.zeros((1, l5), jnp.int32) for _ in range(bpp))
-    lax.fori_loop(0, w, body, (left0, jnp.zeros((STRIDE, l5), jnp.int32)))
+    z8 = jnp.zeros((STRIDE, l5), jnp.int32)
+    z1 = jnp.zeros((1, l5), jnp.int32)
+    _, _, _, _, e_hi, e_lo = lax.fori_loop(
+        0, w, body, (left0, z8, z8, z8, z1, z1))
 
     # ---- row cost (hist-delta identity) + derivative error, per lane ----
     hw = hist_s[:, :]
@@ -253,42 +271,9 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
     bits = jnp.where(freq > 0, 65 - _bitlength(freq), 0)
     total_cost = jnp.sum(counts * bits, axis=0, keepdims=True)   # (1, L)
 
+    cost = total_cost + e_hi + (e_lo >> 7)
     qrow = qrow_out_ref[0, :, :]
     orig = orig_row_ref[0, :, :]
-    qprev = qprev_s[:, :]
-    oprev = oprev_s[:, :]
-    rows8 = STRIDE * w
-    ri = lax.broadcasted_iota(jnp.int32, (rows8, l5), 0) & 7
-    if bpp == 1:
-        wv = jnp.where(ri == 0, 3, 0)
-    elif bpp == 2:
-        wv = jnp.where(ri == 0, 3, jnp.where(ri == 1, 1, 0))
-    else:
-        wv = (ri < bpp).astype(jnp.int32)
-
-    def shift8(a):
-        z = jnp.zeros_like(a)
-        rolled = pltpu.roll(a, STRIDE, axis=0)
-        rr = lax.broadcasted_iota(jnp.int32, a.shape, 0)
-        return jnp.where(rr < STRIDE, z, rolled)
-
-    def dist(new_pair, old_pair):
-        d = (qrow - new_pair) - (orig - old_pair)
-        return wv * d * d
-
-    term = (dist(qprev, oprev)
-            + dist(shift8(qprev), shift8(oprev))
-            + dist(shift8(qrow), shift8(orig)))
-    # per-pixel 8-row group sums via log-step rolls (group head at r%8==0)
-    g = term
-    for k in (1, 2, 4):
-        gr = pltpu.roll(g, rows8 - k, axis=0)   # == roll by -k (circular)
-        rr = lax.broadcasted_iota(jnp.int32, g.shape, 0)
-        g = g + jnp.where(rr >= rows8 - k, 0, gr)
-    head = (ri == 0)
-    e_hi = jnp.sum(jnp.where(head, g >> 7, 0), axis=0, keepdims=True)
-    e_lo = jnp.sum(jnp.where(head, g & 127, 0), axis=0, keepdims=True)
-    cost = total_cost + e_hi + (e_lo >> 7)
 
     # ---- winner mask: min cost over the 5 filter blocks, ties -> lowest f.
     # The circular roll-min places the global per-image minimum in EVERY
@@ -331,12 +316,19 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
 
 
 def max_batch_image(w: int, bpp: int, band_pad: int) -> int:
-    """Largest batch whose image-kernel VMEM footprint (double-buffered
-    blocked rows + persistent scratch + ~4 row-sized temporaries in the
-    cost/commit section) fits the ~33.6MB scoped ceiling."""
+    """Largest batch whose image-kernel VMEM footprint fits the ~33.6MB
+    scoped ceiling. Footprint is driven by LANE-PADDED buffer widths
+    (lanes round up to 128), so the sweet spots are at 5B <= k*128:
+    static bytes ~= 4 * lanes_pad * (6 row buffers + 3 dither buffers +
+    the histogram table), plus headroom for in-loop temporaries."""
     table = 256 + band_pad
-    per_b = 20 * (10 * STRIDE * w + 3 * STRIDE * (w + 5) + 2 * table)
-    return max(8, min(512, ((30 << 20) // per_b) // 8 * 8))
+    rows_budget = 6 * STRIDE * w + 3 * STRIDE * (w + 5) + table
+    best = 8
+    for b in range(8, 513):
+        lanes = -(-NUM_FILTERS * b // 128) * 128
+        if 4 * lanes * rows_budget + (3 << 20) <= (33 << 20):
+            best = b
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=(
