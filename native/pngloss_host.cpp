@@ -525,15 +525,29 @@ void apply_filter_row(const uint8_t* prev, const uint8_t* row, int f, int bpp,
 }
 
 int msad_choice(const uint8_t* prev, const uint8_t* row, int bpp,
-                size_t rowbytes, uint8_t* scratch) {
-  // libpng considers only NONE and UP on single-pixel rows
-  const int candidates[5] = {0, 1, 2, 3, 4};
-  int ncand = rowbytes <= size_t(bpp) ? 2 : 5;
+                size_t rowbytes, uint8_t* scratch, bool single_row_image) {
+  // libpng candidate restrictions (verified empirically): SINGLE-ROW
+  // images try only NONE and SUB (AVG is excluded even when its sum
+  // wins); row 0 of taller images uses all five with a zeroed previous
+  // row; single-pixel rows never produce SUB/AVG/PAETH
+  const int all[5] = {0, 1, 2, 3, 4};
+  const int h1_row[2] = {0, 1};
+  const int h1_single[1] = {0};
   const int single_pixel[2] = {0, 2};
+  bool single = rowbytes <= size_t(bpp);
+  const int* cand = all;
+  int ncand = 5;
+  if (single_row_image) {
+    cand = single ? h1_single : h1_row;
+    ncand = single ? 1 : 2;
+  } else if (single) {
+    cand = single_pixel;
+    ncand = 2;
+  }
   int best = 0;
   uint64_t best_sum = ~0ULL;
   for (int i = 0; i < ncand; i++) {
-    int f = rowbytes <= size_t(bpp) ? single_pixel[i] : candidates[i];
+    int f = cand[i];
     apply_filter_row(prev, row, f, bpp, rowbytes, scratch);
     uint64_t s = 0;
     for (size_t x = 0; x < rowbytes; x++) {
@@ -677,7 +691,7 @@ int pl_encode(const uint8_t* rgba, uint32_t w, uint32_t h,
     const uint8_t* row = packed.data() + size_t(y) * rowbytes;
     int f;
     if (y == 0 || row_filters == nullptr) {
-      f = msad_choice(prev, row, bpp, rowbytes, scratch.data());
+      f = msad_choice(prev, row, bpp, rowbytes, scratch.data(), h == 1);
     } else {
       f = row_filters[y];
       // libpng ignores forced SUB/AVG/PAETH on single-pixel rows

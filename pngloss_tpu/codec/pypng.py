@@ -448,7 +448,8 @@ def apply_filter(prev_row: np.ndarray | None, row: np.ndarray, ftype: int, bpp: 
     return (out & 0xFF).astype(np.uint8)
 
 
-def msad_filter_choice(prev_row: np.ndarray | None, row: np.ndarray, bpp: int) -> int:
+def msad_filter_choice(prev_row: np.ndarray | None, row: np.ndarray, bpp: int,
+                       single_row_image: bool = False) -> int:
     """libpng's minimum-sum-of-absolute-differences filter heuristic.
 
     Matches png_write_find_filter with PNG_ALL_FILTERS: for each candidate the
@@ -457,10 +458,19 @@ def msad_filter_choice(prev_row: np.ndarray | None, row: np.ndarray, bpp: int) -
     is required to replace the current best. This is the same cascade as the
     reference's adaptive_filter_for_rows (optimize_state.c:492-562).
     """
-    # when the row is a single pixel (rowbytes <= bpp) libpng only considers
-    # NONE and UP; SUB/AVG/PAETH are never produced (verified empirically
-    # against libpng 1.6 — see tests/test_codec.py width-1 cases)
-    candidates = (FILTER_NONE, FILTER_UP) if len(row) <= bpp else range(5)
+    # Candidate restrictions, verified empirically against libpng 1.6:
+    #  * SINGLE-ROW IMAGES (height 1) try only NONE and SUB — AVG loses
+    #    even with the strictly lowest sum; row 0 of taller images uses
+    #    all five with a zeroed previous row (AVG can and does win there);
+    #  * on single-pixel rows (rowbytes <= bpp) SUB/AVG/PAETH are never
+    #    produced (see tests/test_codec.py width-1 cases).
+    single = len(row) <= bpp
+    if single_row_image:
+        candidates = (FILTER_NONE,) if single else (FILTER_NONE, FILTER_SUB)
+    elif single:
+        candidates = (FILTER_NONE, FILTER_UP)
+    else:
+        candidates = range(5)
     best, best_sum = FILTER_NONE, None
     for f in candidates:
         filtered = apply_filter(prev_row, row, f, bpp).astype(np.int32)
@@ -518,7 +528,7 @@ def encode(
     prev = None
     for y in range(h):
         if y == 0 or row_filters is None:
-            f = msad_filter_choice(prev, flat[y], bpp)
+            f = msad_filter_choice(prev, flat[y], bpp, single_row_image=(h == 1))
         else:
             f = int(row_filters[y])
             if w * bpp <= bpp and f in (FILTER_SUB, FILTER_AVG, FILTER_PAETH):
