@@ -65,6 +65,9 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
                 [s_arr, np.broadcast_to(s_arr[:1], (b_pad - b,))])
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
     rows_dev = jax.device_put(np.ascontiguousarray(rows), sharding)
+    # Pallas must interpret when the mesh lives on CPU devices, regardless
+    # of the process's default backend
+    interp = mesh.devices.flat[0].platform != "tpu"
 
     # check_vma=False: the scan carries are initialized from constants inside
     # the shard, which the varying-manual-axes checker cannot unify with the
@@ -75,7 +78,7 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
         fn = functools.partial(
             optimize_batch_auto, bleed=bleed, bpp=bpp,
             use_row_filters=use_row_filters, impl=impl,
-            band_pad=band_pad_for(int(s_arr.max())))
+            band_pad=band_pad_for(int(s_arr.max())), interpret=interp)
         sharded = jax.shard_map(
             lambda r, s: fn(r, strength=s), mesh=mesh,
             in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
@@ -85,7 +88,7 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
     else:
         fn = functools.partial(
             optimize_batch_auto, strength=strength, bleed=bleed, bpp=bpp,
-            use_row_filters=use_row_filters, impl=impl)
+            use_row_filters=use_row_filters, impl=impl, interpret=interp)
         sharded = jax.shard_map(
             fn, mesh=mesh, in_specs=P(BATCH_AXIS),
             out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
