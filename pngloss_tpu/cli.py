@@ -158,10 +158,11 @@ def _write_atomic(outname: str, data: bytes) -> int:
     return SUCCESS
 
 
-def _compress_one(data: bytes, opts: Options, verbose_name: str,
-                  mesh=None) -> tuple[bytes | None, bytes | None, int]:
+def _compress_one(
+    data: bytes, opts: Options, verbose_name: str, mesh=None,
+) -> tuple[bytes | None, bytes | None, int, "codec.DecodedImage | None"]:
     """Read/optimize/encode one file's bytes. Returns
-    (output_bytes, fallback_original_bytes, retval)."""
+    (output_bytes, fallback_original_bytes, retval, decoded_image)."""
     from pngloss_tpu import pipeline  # deferred: keep -h/-V JAX-free
 
     try:
@@ -182,7 +183,8 @@ def _compress_one(data: bytes, opts: Options, verbose_name: str,
         # pngloss_image.c:310-325 (the per-row spinner is meaningless for a
         # batched device dispatch; the summary lines match)
         print("  compression complete", file=sys.stderr)
-        n = pipeline.unique_symbol_count(q, filters)
+        n = pipeline.unique_symbol_count(
+            q, filters, bpp=pipeline.working_bpp(img.rgba))
         print(f"  used {n} unique symbols", file=sys.stderr)
 
     max_size = len(data) - 1 if opts.skip_if_larger else 0
@@ -274,7 +276,7 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
     # the batched path: same per-file behavior and output, but all images
     # go to the device as one dispatch per shape bucket.
     if len(opts.files) > 1 and not opts.using_stdin and not opts.using_stdout:
-        return _run_batched(opts)
+        return _run_batched(opts, mesh=mesh)
 
     error_count = skipped_count = file_count = 0
     latest_error = SUCCESS
@@ -382,7 +384,8 @@ def _run_batched(opts, mesh=None) -> int:
                 print(f"  converted image from gamma {1.0 / img.gamma:2.1f}"
                       " to gamma 2.2", file=sys.stderr)
             print("  compression complete", file=sys.stderr)
-            n = pipeline.unique_symbol_count(qs[j], fs[j])
+            n = pipeline.unique_symbol_count(
+                qs[j], fs[j], bpp=pipeline.working_bpp(img.rgba))
             print(f"  used {n} unique symbols", file=sys.stderr)
         max_size = len(data) - 1 if opts.skip_if_larger else 0
         try:

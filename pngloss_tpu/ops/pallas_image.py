@@ -362,11 +362,11 @@ def image_rows_pallas(s5, bleed, rank5, orig5_rows, qprev0, oprev0, e00, e10,
             vm, sm, vm,
             pl.BlockSpec((1, rows_px, l5), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # qprev0 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # oprev0 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # e00 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # e10 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # hist0 (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # qprev0 (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # oprev0 (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # e00 (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # e10 (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # hist0 (HBM)
         ],
         out_specs=(
             pl.BlockSpec((1, rows_px, l5), lambda y: (y, 0, 0),

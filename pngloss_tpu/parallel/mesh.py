@@ -38,7 +38,8 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
                            bpp: int, use_row_filters: bool = True,
-                           mesh: Mesh | None = None, impl: str = "auto"):
+                           mesh: Mesh | None = None, impl: str = "auto",
+                           fetch: bool = True):
     """Batch optimize with the batch axis sharded over a device mesh.
 
     rows: (B, H, W*bpp) uint8 host array. B is padded up to a multiple of the
@@ -47,6 +48,10 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
     Pallas kernel partitions too (a custom call cannot be auto-partitioned
     by XLA's SPMD propagation). Returns host numpy arrays
     ((B,H,W*bpp) uint8, (B,H) int8).
+
+    fetch=False returns the still-on-device (padded) jax arrays plus the
+    valid batch size: (q_dev, filters_dev, b) — the caller overlaps the
+    device→host copy with other work (pipeline.py's feed/drain pools).
     """
     from pngloss_tpu.ops import optimize_batch_auto
 
@@ -93,4 +98,6 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
             fn, mesh=mesh, in_specs=P(BATCH_AXIS),
             out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
         q, filters = jax.jit(sharded)(rows_dev)
+    if not fetch:
+        return q, filters, b
     return np.asarray(q)[:b], np.asarray(filters)[:b]

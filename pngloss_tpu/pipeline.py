@@ -4,13 +4,19 @@ This is the TPU-native replacement for the reference's L3/L4 orchestration
 (pngloss_image.c + the per-file loop in pngloss.c): instead of one image at a
 time, images are bucketed by working shape (H, W, bpp), batched per bucket,
 and dispatched to the device with the batch axis sharded over the mesh.
-Host-side PNG decode/DEFLATE overlaps device compute via a thread pool.
+
+Feed/drain overlap: all buckets are dispatched up front (JAX dispatch is
+async), each bucket's device→host copy is started immediately
+(`copy_to_host_async` — ~5× the serial fetch rate through this box's TPU
+tunnel), and host DEFLATE drains finished buckets on a thread pool (zlib
+releases the GIL) while later buckets are still computing on device.
 """
 
 from __future__ import annotations
 
 import concurrent.futures as _futures
 import dataclasses
+import os
 
 import numpy as np
 
@@ -20,21 +26,35 @@ from pngloss_tpu.ops import optimize_batch_auto
 from pngloss_tpu.parallel import optimize_batch_sharded
 
 
+def working_bpp(rgba: np.ndarray) -> int:
+    """Bytes-per-pixel of the working format the optimizer would use for
+    this image (pngloss_image.c:64-80 colorspace detection)."""
+    grayscale, strip_alpha = codec.detect_colorspace(rgba)
+    return {(True, True): 1, (True, False): 2,
+            (False, True): 3, (False, False): 4}[(grayscale, strip_alpha)]
+
+
+def pack_work(rgba: np.ndarray, bpp: int) -> np.ndarray:
+    """Repack RGBA into the given working format (grayscale keeps the green
+    channel, pngloss_image.c:111-120). Returns (H, W*bpp) uint8."""
+    h, w = rgba.shape[0], rgba.shape[1]
+    if bpp == 1:
+        work = rgba[:, :, 1:2]
+    elif bpp == 2:
+        work = rgba[:, :, (1, 3)]
+    elif bpp == 3:
+        work = rgba[:, :, :3]
+    else:
+        work = rgba
+    return np.ascontiguousarray(work).reshape(h, w * bpp)
+
+
 def reduce_colorspace(rgba: np.ndarray) -> tuple[np.ndarray, int]:
     """Repack RGBA into the 1/2/3/4-byte working format
     (optimize_with_rows, pngloss_image.c:64-121; grayscale keeps the green
     channel). Returns ((H, W*bpp) uint8, bpp)."""
-    grayscale, strip_alpha = codec.detect_colorspace(rgba)
-    h, w = rgba.shape[0], rgba.shape[1]
-    if grayscale and strip_alpha:
-        work, bpp = rgba[:, :, 1:2], 1
-    elif grayscale:
-        work, bpp = rgba[:, :, (1, 3)], 2
-    elif strip_alpha:
-        work, bpp = rgba[:, :, :3], 3
-    else:
-        work, bpp = rgba, 4
-    return np.ascontiguousarray(work).reshape(h, w * bpp), bpp
+    bpp = working_bpp(rgba)
+    return pack_work(rgba, bpp), bpp
 
 
 def restore_colorspace(work: np.ndarray, bpp: int, w: int) -> np.ndarray:
@@ -67,12 +87,22 @@ def optimize_rgba(rgba: np.ndarray, strength: int = 19, bleed: int = 2,
     return q[0], f[0]
 
 
-def unique_symbol_count(q_rgba: np.ndarray, row_filters: np.ndarray) -> int:
+def unique_symbol_count(q_rgba: np.ndarray, row_filters: np.ndarray,
+                        bpp: int | None = None) -> int:
     """Number of distinct residual symbols the optimizer emitted
     (the reference's verbose 'used N unique symbols', pngloss_image.c:315-325).
     Recomputed from the quantized image: the emitted byte equals the
-    recomputed residual byte under each row's winning filter."""
-    work, bpp = reduce_colorspace(q_rgba)
+    recomputed residual byte under each row's winning filter.
+
+    bpp: the working format the OPTIMIZER used (from the original image's
+    colorspace detection). Pass it whenever available — re-detecting on the
+    quantized pixels can differ when quantization collapses the image to
+    grayscale or fully-opaque, and the count would diverge from the C tool's
+    histogram-based one."""
+    if bpp is None:
+        work, bpp = reduce_colorspace(q_rgba)
+    else:
+        work = pack_work(q_rgba, bpp)
     h, wb = work.shape
     rows = work.astype(np.int32)
     seen = np.zeros(256, bool)
@@ -129,6 +159,104 @@ def optimize_with_stride(buffer: np.ndarray, width: int, height: int,
     return filters
 
 
+@dataclasses.dataclass
+class _PendingBucket:
+    """One dispatched shape bucket, results still on device."""
+    idxs: list[int]            # image indices covered by this bucket
+    bpp: int
+    q_dev: object              # device array (B_pad, H, W*bpp) uint8
+    f_dev: object              # device array (B_pad, H) int8
+
+
+def _msad_choice_np(prev: np.ndarray, row: np.ndarray, bpp: int) -> int:
+    """The optimizer's all-five MSAD filter cascade
+    (adaptive_filter_for_rows, optimize_state.c:492-562) on host rows."""
+    row = row.astype(np.int32)
+    prev = prev.astype(np.int32)
+    left = np.zeros_like(row)
+    left[bpp:] = row[:-bpp]
+    diag = np.zeros_like(prev)
+    diag[bpp:] = prev[:-bpp]
+    p = prev - diag
+    pd = left - diag
+    paeth = np.where(
+        (np.abs(p) <= np.abs(pd)) & (np.abs(p) <= np.abs(p + pd)), left,
+        np.where(np.abs(pd) <= np.abs(p + pd), prev, diag))
+
+    def msad(v):
+        v = v & 0xFF
+        return int(np.where(v < 128, v, 256 - v).sum())
+
+    sums = [msad(row), msad(row - left), msad(row - prev),
+            msad(row - (left + prev) // 2), msad(row - paeth)]
+    return int(np.argmin(sums))
+
+
+def _warn_abort_fallbacks(q: np.ndarray, f: np.ndarray, bpp: int) -> None:
+    """Where the C tool abort()s ("no good row" at strength 0,
+    pngloss_image.c:268), the device paths emit the min-cost row instead —
+    a documented byte-parity deviation in a case the reference considers
+    impossible. Detect it post-hoc (cheap: row 0 is the only adaptive row
+    in CLI mode) so any real-world occurrence is visible."""
+    import warnings
+
+    zeros = np.zeros_like(q[0, 0])
+    hit = sum(1 for j in range(q.shape[0])
+              if _msad_choice_np(zeros, q[j, 0], bpp) != int(f[j, 0]))
+    if hit:
+        warnings.warn(
+            f"pngloss divergence: {hit} image(s) had no adaptive-consistent "
+            "row 0 at strength 0 (the C tool would abort); emitted the "
+            "min-cost row instead", RuntimeWarning, stacklevel=3)
+
+
+def dispatch_buckets(works, bpps, strength, bleed: int = 2, *,
+                     use_row_filters: bool = True, mesh=None,
+                     impl: str = "auto") -> list[_PendingBucket]:
+    """Bucket working-format planes by (H, W*bpp, bpp) and dispatch one
+    device program per bucket WITHOUT waiting for results. Device→host
+    copies are started immediately so they stream while later buckets
+    compute. strength: scalar or per-image sequence (mixed strengths share
+    lanes — the band math is per-lane)."""
+    per_image = not np.isscalar(strength)
+    buckets: dict[tuple[int, int, int], list[int]] = {}
+    for i, (wk, bpp) in enumerate(zip(works, bpps)):
+        buckets.setdefault((wk.shape[0], wk.shape[1], bpp), []).append(i)
+
+    pending = []
+    for (h, wb, bpp), idxs in buckets.items():
+        batch = np.stack([works[i] for i in idxs])
+        s = (np.asarray([strength[i] for i in idxs], np.int32)
+             if per_image else strength)
+        with tracing.stage(f"device_dispatch_{h}x{wb // bpp}x{bpp}"):
+            if mesh is not None:
+                qb, fb, _ = optimize_batch_sharded(
+                    batch, s, bleed, bpp=bpp,
+                    use_row_filters=use_row_filters, mesh=mesh, impl=impl,
+                    fetch=False)
+            else:
+                qb, fb = optimize_batch_auto(
+                    batch, s, bleed, bpp=bpp,
+                    use_row_filters=use_row_filters, impl=impl)
+        for arr in (qb, fb):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass  # plain numpy (interpret paths may return host arrays)
+        pending.append(_PendingBucket(idxs, bpp, qb, fb))
+    return pending
+
+
+def collect_bucket(p: _PendingBucket):
+    """Fetch one dispatched bucket to host; returns (q (B,H,W*bpp) uint8,
+    filters (B,H) int8) trimmed to the bucket's valid batch size."""
+    with tracing.stage("device_fetch"):
+        q = np.asarray(p.q_dev)[:len(p.idxs)]
+        f = np.asarray(p.f_dev)[:len(p.idxs)]
+    _warn_abort_fallbacks(q, f, p.bpp)
+    return q, f
+
+
 def optimize_rgba_batch(rgbas, strength=19, bleed: int = 2, *,
                         use_row_filters: bool = True, mesh=None,
                         impl: str = "auto"):
@@ -149,29 +277,14 @@ def optimize_rgba_batch(rgbas, strength=19, bleed: int = 2, *,
         works.append(work)
         bpps.append(bpp)
 
-    buckets: dict[tuple[int, int, int], list[int]] = {}
-    for i, (wk, bpp) in enumerate(zip(works, bpps)):
-        buckets.setdefault((wk.shape[0], wk.shape[1], bpp), []).append(i)
-
     q_out: list[np.ndarray | None] = [None] * len(rgbas)
     f_out: list[np.ndarray | None] = [None] * len(rgbas)
-    for (h, wb, bpp), idxs in buckets.items():
-        batch = np.stack([works[i] for i in idxs])
-        s = (np.asarray([strength[i] for i in idxs], np.int32)
-             if per_image else strength)
-        with tracing.stage(f"device_optimize_{h}x{wb // bpp}x{bpp}"):
-            if mesh is not None:
-                qb, fb = optimize_batch_sharded(
-                    batch, s, bleed, bpp=bpp,
-                    use_row_filters=use_row_filters, mesh=mesh, impl=impl)
-            else:
-                qb, fb = optimize_batch_auto(
-                    batch, s, bleed, bpp=bpp,
-                    use_row_filters=use_row_filters, impl=impl)
-                qb, fb = np.asarray(qb), np.asarray(fb)
-        for j, i in enumerate(idxs):
-            w = rgbas[i].shape[1]
-            q_out[i] = restore_colorspace(qb[j], bpp, w)
+    for p in dispatch_buckets(works, bpps, strength, bleed,
+                              use_row_filters=use_row_filters, mesh=mesh,
+                              impl=impl):
+        qb, fb = collect_bucket(p)
+        for j, i in enumerate(p.idxs):
+            q_out[i] = restore_colorspace(qb[j], p.bpp, rgbas[i].shape[1])
             f_out[i] = fb[j]
     return q_out, f_out
 
@@ -208,28 +321,43 @@ CompressResult.unwrap = _unwrap
 
 def compress_many(files, strength: int = 19, bleed: int = 2, *,
                   strip: bool = False, skip_if_larger: bool = False,
-                  mesh=None, decode_workers: int = 0,
+                  mesh=None, decode_workers: int | None = None,
                   impl: str = "auto") -> list[CompressResult]:
-    """Compress many PNG byte strings as one batched device dispatch.
+    """Compress many PNG byte strings with host/device overlap.
 
     This is the TPU-native form of the reference's run_suite.sh workload
-    (1,089 sequential process invocations, SURVEY.md §3.4): decode on host
-    threads, one device program per shape bucket, DEFLATE on host threads.
-    """
-    results = [CompressResult() for _ in files]
+    (1,089 sequential process invocations, SURVEY.md §3.4), structured as
+    feed/drain pools around the device:
 
-    def _decode(data: bytes) -> DecodedImage:
+      decode pool → colorspace reduce → dispatch ALL shape buckets (async)
+        → per bucket: fetch (device→host copy already streaming) → encode
+          pool drains while later buckets still compute on device
+
+    decode_workers (default os.cpu_count()) sizes both host pools; zlib
+    INFLATE/DEFLATE release the GIL, so the pools scale with real cores and
+    still overlap device/tunnel waits on a single-core host.
+    """
+    if decode_workers is None:
+        decode_workers = os.cpu_count() or 1
+    results = [CompressResult() for _ in files]
+    per_image_strength = not np.isscalar(strength)
+    if per_image_strength:
+        strength = list(strength)
+        assert len(strength) == len(files)
+
+    def _decode(data: bytes):
         with tracing.stage("host_decode"):
-            return codec.decode(data, strip=strip)
+            img = codec.decode(data, strip=strip)
+        return img, reduce_colorspace(img.rgba)
 
     # dedup identical inputs (e.g. the suite's same-file-many-strengths
-    # pattern): decode each distinct byte string once
+    # pattern): decode + colorspace-reduce each distinct byte string once
     distinct: dict[bytes, list[int]] = {}
     for i, d in enumerate(files):
         distinct.setdefault(d, []).append(i)
     decoded: list = [None] * len(files)
     work_items = [(idxs, files[idxs[0]]) for idxs in distinct.values()]
-    if decode_workers > 1:
+    if decode_workers > 1 and len(work_items) > 1:
         with _futures.ThreadPoolExecutor(decode_workers) as pool:
             uniq = list(pool.map(lambda it: _try(_decode, it[1]), work_items))
     else:
@@ -238,26 +366,33 @@ def compress_many(files, strength: int = 19, bleed: int = 2, *,
         for i in idxs:
             decoded[i] = res
 
-    ok_idx = []
-    rgbas = []
-    for i, (img, err) in enumerate(decoded):
+    ok_idx, works, bpps, widths = [], [], [], []
+    for i, (payload, err) in enumerate(decoded):
         results[i].input_size = len(files[i])
         if err is not None:
             results[i].error = err
         else:
+            img, (work, bpp) = payload
             ok_idx.append(i)
-            rgbas.append(img.rgba)
+            works.append(work)
+            bpps.append(bpp)
+            widths.append(img.rgba.shape[1])
 
-    qs, fs = optimize_rgba_batch(rgbas, strength, bleed, mesh=mesh, impl=impl)
+    s_ok = ([strength[i] for i in ok_idx] if per_image_strength
+            else strength)
+    pending = dispatch_buckets(works, bpps, s_ok, bleed, mesh=mesh, impl=impl)
 
-    def _encode(j: int) -> None:
-        i = ok_idx[j]
-        img = decoded[i][0]
+    pos_of = {i: j for j, i in enumerate(ok_idx)}  # image idx -> works idx
+
+    def _encode(i: int, q_work: np.ndarray, f_row: np.ndarray) -> None:
+        img = decoded[i][0][0]
+        j = pos_of[i]
+        rgba = restore_colorspace(q_work, bpps[j], widths[j])
         max_size = results[i].input_size - 1 if skip_if_larger else 0
         try:
             with tracing.stage("host_encode"):
                 out = codec.encode(
-                    qs[j], row_filters=fs[j], gamma=img.gamma,
+                    rgba, row_filters=f_row, gamma=img.gamma,
                     color_transform=img.color_transform, chunks=img.chunks,
                     maximum_file_size=max_size)
         except Exception as e:  # TooLargeFile and friends
@@ -265,15 +400,18 @@ def compress_many(files, strength: int = 19, bleed: int = 2, *,
             return
         results[i].data = out
         results[i].output_size = len(out)
-        results[i].metadata_size = sum(
-            len(c.data) + 12 for c in img.chunks)
+        results[i].metadata_size = sum(len(c.data) + 12 for c in img.chunks)
 
-    if decode_workers > 1:
-        with _futures.ThreadPoolExecutor(decode_workers) as pool:
-            list(pool.map(_encode, range(len(ok_idx))))
-    else:
-        for j in range(len(ok_idx)):
-            _encode(j)
+    # drain: as each bucket's copy lands, its encodes run on the pool while
+    # the remaining buckets are still computing / streaming
+    with _futures.ThreadPoolExecutor(max(1, decode_workers)) as pool:
+        futs = []
+        for p in pending:
+            qb, fb = collect_bucket(p)
+            futs += [pool.submit(_encode, ok_idx[j], qb[k], fb[k])
+                     for k, j in enumerate(p.idxs)]
+        for fut in futs:
+            fut.result()
     return results
 
 

@@ -5,7 +5,8 @@ The reference's only observability is a verbose spinner and stderr stats
 device dispatch per bucket, host encode — so this provides:
 
   * `stage(name)` — context manager accumulating wall time per stage into a
-    thread-local trace, retrievable with `snapshot()`;
+    process-wide trace (lock-protected: the pipeline's feed/drain pools run
+    decode/encode stages on worker threads), retrievable with `snapshot()`;
   * `device_trace(path)` — wraps `jax.profiler.trace` when a profile dump is
     requested (PNGLOSS_PROFILE_DIR env or explicit path), a no-op otherwise.
 """
@@ -18,14 +19,9 @@ import threading
 import time
 from collections import defaultdict
 
-_local = threading.local()
-
-
-def _times() -> dict[str, float]:
-    if not hasattr(_local, "times"):
-        _local.times = defaultdict(float)
-        _local.counts = defaultdict(int)
-    return _local.times
+_lock = threading.Lock()
+_times: dict[str, float] = defaultdict(float)
+_counts: dict[str, int] = defaultdict(int)
 
 
 @contextlib.contextmanager
@@ -34,18 +30,23 @@ def stage(name: str):
     try:
         yield
     finally:
-        _times()[name] += time.perf_counter() - t0
-        _local.counts[name] += 1
+        dt = time.perf_counter() - t0
+        with _lock:
+            _times[name] += dt
+            _counts[name] += 1
 
 
 def snapshot(reset: bool = False) -> dict[str, dict[str, float]]:
-    """Per-stage {'seconds', 'calls'} accumulated on this thread."""
-    times = _times()
-    out = {k: {"seconds": round(v, 6), "calls": _local.counts[k]}
-           for k, v in times.items()}
-    if reset:
-        times.clear()
-        _local.counts.clear()
+    """Per-stage {'seconds', 'calls'} accumulated across all threads.
+    Stage seconds are summed per thread, so pooled stages (host_encode on N
+    workers) can total more than wall time — that is the intended reading:
+    total CPU-seconds spent in the stage."""
+    with _lock:
+        out = {k: {"seconds": round(v, 6), "calls": _counts[k]}
+               for k, v in _times.items()}
+        if reset:
+            _times.clear()
+            _counts.clear()
     return out
 
 

@@ -165,7 +165,7 @@ class Handler(BaseHTTPRequestHandler):
                 strength = int(params["strength"])
                 bleed = int(params["bleed"])
                 strip = int(params["strip"])
-                assert 0 <= strength < 128 and 0 <= bleed < 32768 and strip in (0, 1)
+                assert 0 <= strength < 128 and 1 <= bleed < 32768 and strip in (0, 1)
             except (KeyError, ValueError, AssertionError):
                 return self._error(400, "bad query")
             try:
@@ -225,7 +225,13 @@ class Handler(BaseHTTPRequestHandler):
                 strength = int(fields.get("strength", b"19"))
                 bleed = int(fields.get("bleed", b"2"))
                 strip = int(fields.get("strip", b"0"))
-            except ValueError:
+                # same bounds as the GET path: strength beyond the kernel's
+                # band table would give wrong output, bleed=0 divides by
+                # zero in Sierra diffusion — and a bad result would be
+                # cached and the original persisted
+                assert 0 <= strength < 128 and 1 <= bleed < 32768 \
+                    and strip in (0, 1)
+            except (ValueError, AssertionError):
                 return self._error(400, "bad parameters")
 
             sum224 = hashlib.sha224(file_data).digest()

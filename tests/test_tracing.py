@@ -22,4 +22,5 @@ def test_pipeline_traces_stages(suite_dir):
     snap = tracing.snapshot(reset=True)
     assert snap["host_decode"]["calls"] == 1
     assert snap["host_encode"]["calls"] == 1
-    assert any(k.startswith("device_optimize_") for k in snap)
+    assert any(k.startswith("device_dispatch_") for k in snap)
+    assert snap["device_fetch"]["calls"] == 1

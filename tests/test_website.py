@@ -60,6 +60,19 @@ def test_compress_and_fetch_roundtrip(server, oracle):
     assert resp.status == 200
 
 
+def test_post_rejects_out_of_range_params(server):
+    rose = open(ROSE, "rb").read()
+    # bleed=0 would divide by zero in Sierra diffusion; strength>127
+    # exceeds the kernel's band table — both must 400 before compression
+    for fields in ({"strength": b"19", "bleed": b"0"},
+                   {"strength": b"255", "bleed": b"2"},
+                   {"strength": b"19", "bleed": b"2", "strip": b"7"}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_multipart(f"{server}/compress.cgi",
+                            {"file": rose, "strip": b"0", **fields})
+        assert e.value.code == 400
+
+
 def test_rejects_bad_inputs(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post_multipart(f"{server}/compress.cgi", {
