@@ -2,9 +2,45 @@ import jax
 
 from pngloss_tpu.ops.optimize import optimize_batch, optimize_plane_jax
 from pngloss_tpu.ops.optimize_pallas import (
+    _image_kernel_eligible,
     max_batch_for,
     optimize_batch_pallas,
 )
+
+# batch sizes device programs are padded to: one program per (shape, size
+# class) instead of one per request size, so the (slow, tunnel-remote)
+# compile cache stays small and every repeat batch is a hit. 0 stands for
+# the path's VMEM-limited chunk quantum.
+BATCH_SIZE_CLASSES = (1, 8, 0)
+
+
+def device_batch_quantum(h: int, w: int, bpp: int, band_pad: int,
+                         use_row_filters: bool, impl: str = "auto") -> int:
+    """Largest per-dispatch batch for the selected device path (the VMEM
+    budget of the Pallas kernels; unbounded for the pure-XLA path)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl != "pallas":
+        return UNBOUNDED_BATCH
+    if _image_kernel_eligible(h, w, bpp, use_row_filters):
+        from pngloss_tpu.ops.pallas_image import max_batch_image
+
+        return max_batch_image(w, bpp, band_pad)
+    return max_batch_for(w, bpp, band_pad)
+
+
+UNBOUNDED_BATCH = 1 << 29
+
+
+def pad_batch_size(n: int, quantum: int) -> int:
+    """Smallest size class >= n. Partial chunks of a VMEM-bounded path pad
+    to the quantum itself; an unbounded path (pure XLA) keeps its exact
+    size above the largest finite class."""
+    for c in BATCH_SIZE_CLASSES:
+        c = c or (quantum if quantum < UNBOUNDED_BATCH else n)
+        if n <= c <= quantum:
+            return c
+    return min(n, quantum)
 
 
 def optimize_batch_auto(rows, strength, bleed: int = 2, *, bpp: int,

@@ -96,17 +96,28 @@ def _cd_map(d: jnp.ndarray, bpp: int) -> jnp.ndarray:
     return d
 
 
-def _original_frequencies(orig: jnp.ndarray, bpp: int) -> jnp.ndarray:
+def _original_frequencies(orig: jnp.ndarray, bpp: int,
+                          w_real=None, h_real=None) -> jnp.ndarray:
     """(5, 256) histogram of original-image residuals under each filter
-    (the init pre-pass, optimize_state.c:66-83), fully vectorized."""
+    (the init pre-pass, optimize_state.c:66-83), fully vectorized.
+
+    w_real/h_real (traced scalars) restrict the count to the top-left
+    real region of a padded plane (ragged batching)."""
     above = jnp.concatenate([jnp.zeros_like(orig[:1]), orig[:-1]], axis=0)
     left = jnp.concatenate([jnp.zeros_like(orig[:, :1]), orig[:, :-1]], axis=1)
     diag = jnp.concatenate([jnp.zeros_like(above[:, :1]), above[:, :-1]], axis=1)
+    h, w = orig.shape[0], orig.shape[1]
+    weight = jnp.ones((h, w), jnp.int32)
+    if w_real is not None:
+        weight = weight * (jnp.arange(w)[None, :] < w_real)
+    if h_real is not None:
+        weight = weight * (jnp.arange(h)[:, None] < h_real)
+    weight = jnp.broadcast_to(weight[:, :, None], orig.shape)
     hists = []
     for f in range(NUM_FILTERS):
         pred = _predict5(above, diag, left, f)
         sym = (orig - pred) & 0xFF
-        hist = jnp.zeros((256,), jnp.int32).at[sym.ravel()].add(1)
+        hist = jnp.zeros((256,), jnp.int32).at[sym.ravel()].add(weight.ravel())
         hists.append(hist)
     return jnp.stack(hists)
 

@@ -276,12 +276,18 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
     """The whole-image kernel requires CLI mode (only row 0 is adaptive, so
     rows >= 1 never hit the strength fallback) and packed-key range.
 
-    EXPERIMENTAL, opt-in via PNGLOSS_IMAGE_KERNEL=1: it is bit-exact on
-    chip but currently no faster than the per-row path — the ~33MB
-    scoped-VMEM ceiling caps its batch at ~24 images and the in-kernel
-    winner-broadcast/cost tail costs what the removed XLA glue saved."""
+    It is the PRODUCTION path (PNGLOSS_IMAGE_KERNEL=0 reverts to per-row):
+    true device throughput measured by dispatch slopes (fetch excluded) is
+    ~6.5 MP/s/chip at B=25 vs ~5.8 for the per-row path at B=64 — 2.9x the
+    per-lane rate, 1/500th the launch count, and a far smaller traced graph
+    (3 kernel launches per program instead of H). Round-1's lower numbers
+    were tunnel-fetch-bound measurements, not kernel time.
+
+    Ineligible shapes (embedding mode where every row can hit the strength
+    fallback, h<2, or images past the packed-key int32 range) use the
+    per-row path."""
     import os
-    if not os.environ.get("PNGLOSS_IMAGE_KERNEL"):
+    if os.environ.get("PNGLOSS_IMAGE_KERNEL", "1") == "0":
         return False
     return use_row_filters and h >= 2 and h * w * bpp < (1 << 22)
 

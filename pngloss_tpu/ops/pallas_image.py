@@ -353,7 +353,8 @@ def image_rows_pallas(s5, bleed, rank5, orig5_rows, qprev0, oprev0, e00, e10,
     )
     kernel = functools.partial(
         _image_kernel, w=w, bpp=bpp, b=b, table=table)
-    vmem_bytes = 33 << 20   # the hardware scoped-vmem ceiling on v5e
+    import os
+    vmem_bytes = int(os.environ.get("PNGLOSS_VMEM_LIMIT_MB", "33")) << 20
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -213,37 +213,59 @@ def _warn_abort_fallbacks(q: np.ndarray, f: np.ndarray, bpp: int) -> None:
 def dispatch_buckets(works, bpps, strength, bleed: int = 2, *,
                      use_row_filters: bool = True, mesh=None,
                      impl: str = "auto") -> list[_PendingBucket]:
-    """Bucket working-format planes by (H, W*bpp, bpp) and dispatch one
-    device program per bucket WITHOUT waiting for results. Device→host
-    copies are started immediately so they stream while later buckets
-    compute. strength: scalar or per-image sequence (mixed strengths share
-    lanes — the band math is per-lane)."""
+    """Bucket working-format planes by (H, W*bpp, bpp) and dispatch device
+    programs WITHOUT waiting for results. Device→host copies are started
+    immediately so they stream while later chunks compute.
+
+    Buckets larger than the device path's VMEM quantum are split into
+    quantum-sized chunks (each its own overlappable dispatch+fetch), and
+    every chunk is padded to a small set of batch size classes so a corpus
+    of arbitrary batch sizes compiles O(few) programs per shape.
+
+    strength: scalar or per-image sequence (mixed strengths share lanes —
+    the band math is per-lane)."""
+    from pngloss_tpu.ops import device_batch_quantum, pad_batch_size
+    from pngloss_tpu.ops.optimize import band_pad_for
+
     per_image = not np.isscalar(strength)
+    s_max = int(np.max(strength)) if per_image else int(strength)
+    band_pad = band_pad_for(s_max)
     buckets: dict[tuple[int, int, int], list[int]] = {}
     for i, (wk, bpp) in enumerate(zip(works, bpps)):
         buckets.setdefault((wk.shape[0], wk.shape[1], bpp), []).append(i)
 
     pending = []
     for (h, wb, bpp), idxs in buckets.items():
-        batch = np.stack([works[i] for i in idxs])
-        s = (np.asarray([strength[i] for i in idxs], np.int32)
-             if per_image else strength)
-        with tracing.stage(f"device_dispatch_{h}x{wb // bpp}x{bpp}"):
-            if mesh is not None:
-                qb, fb, _ = optimize_batch_sharded(
-                    batch, s, bleed, bpp=bpp,
-                    use_row_filters=use_row_filters, mesh=mesh, impl=impl,
-                    fetch=False)
+        quantum = (device_batch_quantum(
+            h, wb // bpp, bpp, band_pad, use_row_filters, impl)
+            if mesh is None else len(idxs))
+        for lo in range(0, len(idxs), quantum):
+            chunk = idxs[lo:lo + quantum]
+            b_pad = pad_batch_size(len(chunk), quantum)
+            batch = np.stack([works[i] for i in chunk]
+                             + [works[chunk[0]]] * (b_pad - len(chunk)))
+            if per_image:
+                s = np.asarray([strength[i] for i in chunk]
+                               + [strength[chunk[0]]] * (b_pad - len(chunk)),
+                               np.int32)
             else:
-                qb, fb = optimize_batch_auto(
-                    batch, s, bleed, bpp=bpp,
-                    use_row_filters=use_row_filters, impl=impl)
-        for arr in (qb, fb):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass  # plain numpy (interpret paths may return host arrays)
-        pending.append(_PendingBucket(idxs, bpp, qb, fb))
+                s = strength
+            with tracing.stage(f"device_dispatch_{h}x{wb // bpp}x{bpp}"):
+                if mesh is not None:
+                    qb, fb, _ = optimize_batch_sharded(
+                        batch, s, bleed, bpp=bpp,
+                        use_row_filters=use_row_filters, mesh=mesh,
+                        impl=impl, fetch=False)
+                else:
+                    qb, fb = optimize_batch_auto(
+                        batch, s, bleed, bpp=bpp, band_pad=band_pad,
+                        use_row_filters=use_row_filters, impl=impl)
+            for arr in (qb, fb):
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass  # numpy (interpret paths may return host arrays)
+            pending.append(_PendingBucket(chunk, bpp, qb, fb))
     return pending
 
 

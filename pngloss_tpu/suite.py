@@ -55,13 +55,16 @@ def run_suite(paths, strengths, oracle=None, out_dir=None, impl="auto",
     outs = compress_many(datas, per_job_strength, impl=impl, mesh=mesh)
     total_time = time.time() - t0
 
+    in_decoded: dict[str, object] = {}
     for (p, strength), data, res in zip(jobs, datas, outs):
         name = os.path.basename(p)
         if res.error is not None:
             results.append(dict(file=name, strength=strength,
                                 error=str(res.error)))
             continue
-        img = codec.decode(data)
+        if p not in in_decoded:
+            in_decoded[p] = codec.decode(data)
+        img = in_decoded[p]
         qimg = codec.decode(res.data)
         mp = img.width * img.height / 1e6
         total_mp += mp

@@ -72,12 +72,21 @@ def test_mixed_strengths_one_batch():
         np.testing.assert_array_equal(np.asarray(f)[i], fr)
 
 
-def test_image_kernel_opt_in(monkeypatch):
-    """The experimental whole-image kernel (rows 1..H-1 in one launch)
-    stays bit-exact when enabled."""
-    monkeypatch.setenv("PNGLOSS_IMAGE_KERNEL", "1")
+def test_image_kernel_default_and_opt_out(monkeypatch):
+    """The whole-image kernel (rows 1..H-1 in one launch) is the default
+    production path for eligible shapes; PNGLOSS_IMAGE_KERNEL=0 reverts to
+    the per-row kernel. Both stay bit-exact."""
+    from pngloss_tpu.ops.optimize_pallas import _image_kernel_eligible
+
+    assert _image_kernel_eligible(6, 7, 3, True)
+    assert not _image_kernel_eligible(6, 7, 3, False)   # embedding mode
+    assert not _image_kernel_eligible(1, 7, 3, True)    # single row
     rng = np.random.default_rng(50)
     for bpp in (1, 3, 4):
         rows = rng.integers(0, 256, size=(2, 6, 7 * bpp), dtype=np.uint8)
         _check(rows, bpp, 19)
         _check(rows, bpp, 0)
+    monkeypatch.setenv("PNGLOSS_IMAGE_KERNEL", "0")
+    assert not _image_kernel_eligible(6, 7, 3, True)
+    rows = rng.integers(0, 256, size=(2, 6, 7 * 3), dtype=np.uint8)
+    _check(rows, 3, 19)

@@ -1,0 +1,57 @@
+"""On-chip parity gate: the COMPILED TPU kernels vs the C oracle.
+
+The regular suite runs the Pallas kernels in interpreter mode on CPU, and
+interpret mode accepts programs the Mosaic TC compiler rejects or lowers
+differently — so a compiled-kernel regression would pass CPU CI. This
+gate (PNGLOSS_TEST_TPU=1, run on a machine with a TPU) drives real PNGs
+through the full production pipeline compiled on the chip and requires
+byte-identical output:
+
+    PNGLOSS_TEST_TPU=1 python -m pytest tests/test_tpu_parity.py -q
+
+Coverage: RGB (rose), grayscale (david), RGBA with transparent pixels
+(redbrush — exercises the transparent-pixel symbol rule), palette (tux —
+exercises the palette-expansion read path), at strengths 0 (lossless
+pixels), 19 (default) and 40 — both band_pad compile buckets, the
+whole-image kernel (default) and the per-row kernel.
+"""
+
+import os
+
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    not os.environ.get("PNGLOSS_TEST_TPU"),
+    reason="on-chip gate: set PNGLOSS_TEST_TPU=1 on a TPU machine")
+
+FILES = ("rose.png", "david.png", "redbrush.png", "tux.png")
+
+
+def _tpu_or_skip():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend available")
+
+
+@requires_tpu
+def test_compiled_image_kernel_parity(oracle, suite_dir):
+    _tpu_or_skip()
+    from pngloss_tpu.suite import run_suite
+
+    paths = [os.path.join(suite_dir, n) for n in FILES]
+    results, summary = run_suite(paths, [0, 19, 40], oracle=oracle,
+                                 verbose=False)
+    bad = [r for r in results if not r.get("byte_identical")]
+    assert summary["all_byte_identical"], bad
+
+
+@requires_tpu
+def test_compiled_row_kernel_parity(oracle, suite_dir, monkeypatch):
+    _tpu_or_skip()
+    monkeypatch.setenv("PNGLOSS_IMAGE_KERNEL", "0")
+    from pngloss_tpu.suite import run_suite
+
+    paths = [os.path.join(suite_dir, "rose.png")]
+    results, summary = run_suite(paths, [19], oracle=oracle, verbose=False)
+    assert summary["all_byte_identical"], results
