@@ -122,19 +122,24 @@ def _original_frequencies(orig: jnp.ndarray, bpp: int,
     return jnp.stack(hists)
 
 
-def _adaptive_filter(qprev: jnp.ndarray, qrow: jnp.ndarray) -> jnp.ndarray:
+def _adaptive_filter(qprev: jnp.ndarray, qrow: jnp.ndarray,
+                     col_mask=None) -> jnp.ndarray:
     """libpng's minimum-sum-of-absolute-differences heuristic
     (adaptive_filter_for_rows, optimize_state.c:492-562). qprev must be zeros
     for row 0 / diag must also be zeros then — callers pass qprev=0 at y==0.
+    col_mask (W,) excludes padded columns (ragged batching).
     Returns the chosen filter id (ties -> lowest index)."""
     px = qrow.reshape(-1)
     above = qprev.reshape(-1)
     left = _shift_right(qrow).reshape(-1)
     diag = _shift_right(qprev).reshape(-1)
+    m = (jnp.broadcast_to(col_mask[:, None], qrow.shape).reshape(-1)
+         if col_mask is not None else None)
 
     def msad(vals):
         v = vals & 0xFF
-        return jnp.sum(jnp.where(v < 128, v, 256 - v))
+        v = jnp.where(v < 128, v, 256 - v)
+        return jnp.sum(v * m if m is not None else v)
 
     p = above - diag
     pd = left - diag
@@ -154,12 +159,14 @@ def _adaptive_filter(qprev: jnp.ndarray, qrow: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(sums).astype(jnp.int32)
 
 
-def _deriv_error_div128(qrow, qprev, orow, oprev, bpp: int) -> jnp.ndarray:
+def _deriv_error_div128(qrow, qprev, orow, oprev, bpp: int,
+                        col_mask=None) -> jnp.ndarray:
     """Row sum of the derivative (second-difference) error, divided by 128
     with exact uintmax semantics (optimize_state.c:265-289, row cost :360).
 
     All inputs are (W, bpp) int32; boundary pixels are handled by zero
     padding exactly as the C code's x>0 / y>0 guards (zeros otherwise).
+    col_mask (W,) excludes padded columns (ragged batching).
     Exactness: per-pixel error <= 12*510^2 < 2^22, so sum(e // 128) and
     sum(e % 128) both fit comfortably in int32 for any practical W, and
     floor(sum(e)/128) == sum(e//128) + floor(sum(e%128)/128) exactly.
@@ -176,11 +183,14 @@ def _deriv_error_div128(qrow, qprev, orow, oprev, bpp: int) -> jnp.ndarray:
         + dist(_shift_right(qprev), _shift_right(oprev))  # diagonal
         + dist(_shift_right(qrow), _shift_right(orow))    # left
     )
+    if col_mask is not None:
+        e = e * col_mask
     return jnp.sum(e // 128) + jnp.sum(e % 128) // 128
 
 
 def _quantize_row(f, s, bleed, orig_row, qprev, err0_init, err1_init,
-                  hist_ext, ofreq_ext, *, bpp: int, band_pad: int):
+                  hist_ext, ofreq_ext, *, bpp: int, band_pad: int,
+                  col_mask=None):
     """Quantize one row under one filter (optimize_state_row's pixel loop,
     optimize_state.c:292-313 + optimize_state_run :114-264).
 
@@ -196,6 +206,11 @@ def _quantize_row(f, s, bleed, orig_row, qprev, err0_init, err1_init,
                  invariant hist_ext[i] == hist[i & 0xFF]
       ofreq_ext  (TABLE,) int32 this filter's original-residual histogram,
                  same extended layout
+      col_mask   optional (W,) int32 — 0 for padded columns (ragged
+                 batching): padded pixels neither count in the histogram
+                 nor diffuse error (their diffusion would reach REAL
+                 columns of the next row: pixel x writes logical columns
+                 x-2..x+2 below)
 
     Returns (qrow (W,bpp), hist_ext', err0_next (W+5,4), err1_next (W+5,4))
     where err*_next are the dither rows for the NEXT image row, i.e. the
@@ -213,7 +228,7 @@ def _quantize_row(f, s, bleed, orig_row, qprev, err0_init, err1_init,
 
     def step(carry, xs):
         left, win0, win1, win2, hist = carry
-        orig, above, diag, e0in, e1in, transp = xs
+        orig, above, diag, e0in, e1in, transp, cmask = xs
 
         back_list = []
         here_list = []
@@ -263,7 +278,7 @@ def _quantize_row(f, s, bleed, orig_row, qprev, err0_init, err1_init,
                 here_c = jnp.where(transp, 0, here_c)
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
-            hist = hist + (idx_byte == sym_byte).astype(jnp.int32)
+            hist = hist + (idx_byte == sym_byte).astype(jnp.int32) * cmask
             back_list.append(back_c)
             here_list.append(here_c)
 
@@ -272,7 +287,7 @@ def _quantize_row(f, s, bleed, orig_row, qprev, err0_init, err1_init,
 
         # Sierra diffusion with sequential truncating division
         # (diffuse_color_error, optimize_state.c:390-490)
-        d = _tdiv(_cd_map((here - back)[None, :], bpp)[0], bleed)
+        d = _tdiv(_cd_map((here - back)[None, :], bpp)[0], bleed) * cmask
         twos = _tdiv(d, 16)
         d = d - twos * 4
         threes = _tdiv(d, 8)
@@ -303,7 +318,10 @@ def _quantize_row(f, s, bleed, orig_row, qprev, err0_init, err1_init,
         jnp.zeros((3, 4), jnp.int32),
         hist_ext,
     )
-    xs = (orig_row, qprev, diag_rows, err0_init[5:], err1_init[5:], transparent)
+    cmask = (jnp.ones((w,), jnp.int32) if col_mask is None
+             else col_mask.astype(jnp.int32))
+    xs = (orig_row, qprev, diag_rows, err0_init[5:], err1_init[5:],
+          transparent, cmask)
     (_, _, win1_f, win2_f, hist_out), (qrow, outs1, outs2) = lax.scan(step, carry0, xs)
 
     z14 = jnp.zeros((1, 4), jnp.int32)
@@ -312,7 +330,8 @@ def _quantize_row(f, s, bleed, orig_row, qprev, err0_init, err1_init,
     return qrow, hist_out, err0_next, err1_next
 
 
-def _row_cost(f, qrow, qprev, orow, oprev, hist_ext, adaptive, *, bpp: int):
+def _row_cost(f, qrow, qprev, orow, oprev, hist_ext, adaptive, *, bpp: int,
+              col_mask=None):
     """Row cost and validity (tail of optimize_state_row, :314-361)."""
     above = qprev
     diag = _shift_right(qprev)
@@ -322,13 +341,17 @@ def _row_cost(f, qrow, qprev, orow, oprev, hist_ext, adaptive, *, bpp: int):
     freq = jnp.take(hist_ext[:256], sym.ravel())
     # ulog2(UINTMAX_MAX / freq) == 65 - bitlength(freq) == 33 + clz32(freq)
     bits = jnp.where(freq > 0, 33 + lax.clz(freq), 0)
-    cost = _deriv_error_div128(qrow, qprev, orow, oprev, bpp) + jnp.sum(bits)
-    ok = jnp.where(adaptive, _adaptive_filter(qprev, qrow) == f, True)
+    if col_mask is not None:
+        bits = bits * jnp.broadcast_to(
+            col_mask[:, None], sym.shape).reshape(-1)
+    cost = _deriv_error_div128(qrow, qprev, orow, oprev, bpp,
+                               col_mask) + jnp.sum(bits)
+    ok = jnp.where(adaptive, _adaptive_filter(qprev, qrow, col_mask) == f, True)
     return cost, ok
 
 
 def _row_attempt(s, bleed, adaptive, orow, oprev, qprev, err0, err1, hist_ext,
-                 ofreq_ext5, *, bpp: int, band_pad: int):
+                 ofreq_ext5, *, bpp: int, band_pad: int, col_mask=None):
     """One strength attempt: quantize the row under all 5 filters in parallel
     lanes and select the winner (pngloss_image.c:213-264)."""
     fids = jnp.arange(NUM_FILTERS, dtype=jnp.int32)
@@ -336,8 +359,9 @@ def _row_attempt(s, bleed, adaptive, orow, oprev, qprev, err0, err1, hist_ext,
     def one_filter(f, ofreq_ext):
         qrow, hist_out, e0n, e1n = _quantize_row(
             f, s, bleed, orow, qprev, err0, err1, hist_ext, ofreq_ext,
-            bpp=bpp, band_pad=band_pad)
-        cost, ok = _row_cost(f, qrow, qprev, orow, oprev, hist_out, adaptive, bpp=bpp)
+            bpp=bpp, band_pad=band_pad, col_mask=col_mask)
+        cost, ok = _row_cost(f, qrow, qprev, orow, oprev, hist_out, adaptive,
+                             bpp=bpp, col_mask=col_mask)
         return qrow, hist_out, e0n, e1n, cost, ok
 
     qrows, hists, e0s, e1s, costs, oks = jax.vmap(one_filter)(fids, ofreq_ext5)
@@ -351,18 +375,26 @@ def _row_attempt(s, bleed, adaptive, orow, oprev, qprev, err0, err1, hist_ext,
 
 
 def optimize_plane_jax(rows: jnp.ndarray, strength, bleed, *, bpp: int,
-                       band_pad: int, use_row_filters: bool = True):
+                       band_pad: int, use_row_filters: bool = True,
+                       w_real=None, h_real=None):
     """optimize_image (pngloss_image.c:159-333) for one working-format plane.
 
     rows: (H, W*bpp) uint8. strength/bleed: traced int32 scalars.
+    w_real/h_real: traced scalars marking the real top-left region of a
+    padded plane (ragged batching). Padded columns are masked out of the
+    histogram/diffusion/costs; padded rows need no masking beyond the
+    pre-pass — they come after every real row, so nothing real depends on
+    them, and their outputs are sliced away by the caller.
     Returns (quantized (H, W*bpp) uint8, row_filters (H,) int8).
     """
     h, wb = rows.shape
     w = wb // bpp
     orig = rows.reshape(h, w, bpp).astype(jnp.int32)
     table = 256 + band_pad
-    ofreq = _original_frequencies(orig, bpp)                      # (5, 256)
+    ofreq = _original_frequencies(orig, bpp, w_real, h_real)      # (5, 256)
     ofreq_ext5 = jnp.concatenate([ofreq, ofreq[:, :band_pad]], axis=1)
+    col_mask = (None if w_real is None
+                else (jnp.arange(w) < w_real).astype(jnp.int32))
 
     strength = jnp.asarray(strength, jnp.int32)
     bleed = jnp.asarray(bleed, jnp.int32)
@@ -379,7 +411,7 @@ def optimize_plane_jax(rows: jnp.ndarray, strength, bleed, *, bpp: int,
             _, s, _, _, _, _, _ = st
             found, best_f, qrow, hist_out, e0n, e1n = _row_attempt(
                 s, bleed, adaptive, orow, oprev, qprev, err0, err1, hist_ext,
-                ofreq_ext5, bpp=bpp, band_pad=band_pad)
+                ofreq_ext5, bpp=bpp, band_pad=band_pad, col_mask=col_mask)
             return (found, jnp.maximum(s - 1, 0), best_f, qrow, hist_out, e0n, e1n)
 
         init = (
@@ -412,6 +444,20 @@ def _optimize_batch_jit(rows, strength, bleed, *, bpp, band_pad, use_row_filters
     return jax.vmap(lambda r, s: fn(r, s, bleed))(rows, strength)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("bpp", "band_pad", "use_row_filters"))
+def _optimize_batch_ragged_jit(rows, strength, bleed, w_real, h_real, *,
+                               bpp, band_pad, use_row_filters):
+    """Ragged batch: strength/w_real/h_real are per-image (B,) vectors, so
+    ONE compiled program serves every real size inside the padded shape."""
+    fn = functools.partial(
+        optimize_plane_jax, bpp=bpp, band_pad=band_pad,
+        use_row_filters=use_row_filters)
+    return jax.vmap(
+        lambda r, s, wr, hr: fn(r, s, bleed, w_real=wr, h_real=hr)
+    )(rows, strength, w_real, h_real)
+
+
 def band_pad_for(strength: int) -> int:
     """Static band padding: the symbol band is strength+1 wide, padded to a
     bucket constant so only a few variants ever compile per shape. The
@@ -425,14 +471,17 @@ def band_pad_for(strength: int) -> int:
 
 
 def optimize_batch(rows, strength, bleed: int = 2, *, bpp: int,
-                   use_row_filters: bool = True, band_pad: int | None = None):
+                   use_row_filters: bool = True, band_pad: int | None = None,
+                   w_real=None, h_real=None):
     """Optimize a batch of same-shaped working-format planes on device.
 
     rows: (B, H, W*bpp) uint8. strength: int or per-image (B,) array.
-    Returns ((B,H,W*bpp) uint8, (B,H) int8). strength/bleed are traced
-    (no recompile across values); only shape, bpp and the band-size bucket
-    are compile-time static. When strength is a traced value, band_pad
-    must be given.
+    w_real/h_real: optional per-image (B,) real sizes of padded planes
+    (ragged batching — strength is promoted to a vector so the program is
+    shared). Returns ((B,H,W*bpp) uint8, (B,H) int8). strength/bleed are
+    traced (no recompile across values); only shape, bpp and the band-size
+    bucket are compile-time static. When strength is a traced value,
+    band_pad must be given.
     """
     import numpy as np
 
@@ -443,6 +492,16 @@ def optimize_batch(rows, strength, bleed: int = 2, *, bpp: int,
         band_pad = band_pad_for(s_max)
     s_arr = (jnp.asarray(strength, jnp.int32) if per_image
              else jnp.int32(strength))
+    if w_real is not None or h_real is not None:
+        b, h, wb = rows.shape
+        w_real = (jnp.full((b,), wb // bpp, jnp.int32) if w_real is None
+                  else jnp.asarray(w_real, jnp.int32))
+        h_real = (jnp.full((b,), h, jnp.int32) if h_real is None
+                  else jnp.asarray(h_real, jnp.int32))
+        return _optimize_batch_ragged_jit(
+            rows, jnp.broadcast_to(s_arr, (b,)), jnp.int32(bleed),
+            w_real, h_real, bpp=bpp, band_pad=band_pad,
+            use_row_filters=use_row_filters)
     return _optimize_batch_jit(
         rows, s_arr, jnp.int32(bleed),
         bpp=bpp, band_pad=band_pad,

@@ -76,16 +76,20 @@ def _pred_trial(t: int, above, diag, left):
         left, jnp.where(jnp.abs(pd) <= jnp.abs(p + pd), above, diag))
 
 
-def _msad_valid(qrow5, qprev_t, bpp: int, b: int):
+def _msad_valid(qrow5, qprev_t, bpp: int, b: int, col_mask5=None):
     """Does each filter's candidate row pass the libpng-heuristic
-    self-consistency check? Returns (5, B) bool."""
+    self-consistency check? col_mask5 (W*bpp, 5B) excludes padded columns.
+    Returns (5, B) bool."""
     above5 = _tile5(qprev_t)
     left5 = _shift_rows(qrow5, bpp)
     diag5 = _tile5(_shift_rows(qprev_t, bpp))
     sums = []
     for t in range(NUM_FILTERS):
         v = (qrow5 - _pred_trial(t, above5, diag5, left5)) & 0xFF
-        sums.append(jnp.sum(jnp.where(v < 128, v, 256 - v), axis=0))
+        v = jnp.where(v < 128, v, 256 - v)
+        if col_mask5 is not None:
+            v = v * col_mask5
+        sums.append(jnp.sum(v, axis=0))
     sums = jnp.stack(sums)                      # (5 trials, 5B)
     chosen = jnp.argmin(sums, axis=0)           # first minimum, like the
     # C >= cascade resolving ties to the earliest filter
@@ -94,8 +98,10 @@ def _msad_valid(qrow5, qprev_t, bpp: int, b: int):
     return chosen == f_ids
 
 
-def _deriv_error_div128(qrow5, qprev_t, orow_t, oprev_t, bpp: int, b: int, w: int):
-    """(5, B) int32: per-filter row derivative error // 128, exact."""
+def _deriv_error_div128(qrow5, qprev_t, orow_t, oprev_t, bpp: int, b: int,
+                        w: int, px_mask5=None):
+    """(5, B) int32: per-filter row derivative error // 128, exact.
+    px_mask5 (W, 5B) excludes padded columns (ragged batching)."""
     # channel weights from the color_delta lane mapping (color_delta.c:9-39)
     if bpp == 1:
         cw = [3]
@@ -117,6 +123,8 @@ def _deriv_error_div128(qrow5, qprev_t, orow_t, oprev_t, bpp: int, b: int, w: in
         + dist(_shift_rows(qrow5, bpp), _tile5(_shift_rows(orow_t, bpp)))
     )
     e = jnp.sum(term.reshape(w, bpp, NUM_FILTERS * b), axis=1)  # (W, 5B)
+    if px_mask5 is not None:
+        e = e * px_mask5
     total = jnp.sum(e // 128, axis=0) + jnp.sum(e % 128, axis=0) // 128
     return total.reshape(NUM_FILTERS, b)
 
@@ -135,9 +143,11 @@ def _rank_tables(ofreq):
 
 
 def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
-                 hist, ofreq5, *, w, bpp, b, table, interpret, packed):
+                 hist, ofreq5, *, w, bpp, b, table, interpret, packed,
+                 w_real=None):
     """One strength attempt for the whole batch. Returns per-filter results
-    plus (5, B) cost and validity."""
+    plus (5, B) cost and validity. w_real: optional (B,) real widths of
+    padded rows (ragged batching)."""
     # the kernel wants every operand pre-tiled to 5B filter-major lanes
     # (in-kernel lane concatenation is not Mosaic-representable) and the
     # pixel/column-indexed operands in the 8-sublane-stride layout; the
@@ -147,10 +157,16 @@ def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
         # ofreq5 holds the rank tables; seed the packed keys per attempt
         # (ranks differ per filter, the carried histogram does not)
         hist_in5 = hist_in5 * 256 + ofreq5
+    wr5 = px_mask5 = col_mask5 = None
+    if w_real is not None:
+        wr5 = _tile5(w_real.astype(jnp.int32)[None, :])          # (1, 5B)
+        px_mask5 = (lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+                    < wr5).astype(jnp.int32)                     # (W, 5B)
+        col_mask5 = jnp.repeat(px_mask5, bpp, axis=0)            # (Wb, 5B)
     qrow8, hist5, e0n5, e1n5 = row_attempt_pallas(
         _tile5(s_vec), bleed, _tile5(_to_stride8(orow_t, w, bpp)),
         _tile5(_to_stride8(qprev_t, w, bpp)),
-        _tile5(e0), _tile5(e1), hist_in5, ofreq5,
+        _tile5(e0), _tile5(e1), hist_in5, ofreq5, wr5,
         w=w, bpp=bpp, b=b, table=table, interpret=interpret, packed=packed)
     qrow5 = _from_stride8(qrow8, w, bpp)
     if packed:
@@ -162,11 +178,11 @@ def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
     bits = jnp.where(hist5[:256] > 0, 33 + lax.clz(hist5[:256]), 0)
     total_cost = jnp.sum(counts * bits, axis=0).reshape(NUM_FILTERS, b)
     cost = total_cost + _deriv_error_div128(
-        qrow5, qprev_t, orow_t, oprev_t, bpp, b, w)
+        qrow5, qprev_t, orow_t, oprev_t, bpp, b, w, px_mask5)
 
     ok = lax.cond(
         adaptive,
-        lambda: _msad_valid(qrow5, qprev_t, bpp, b),
+        lambda: _msad_valid(qrow5, qprev_t, bpp, b, col_mask5),
         lambda: jnp.ones((NUM_FILTERS, b), bool))
     return qrow5, hist5, e0n5, e1n5, cost, ok
 
@@ -184,14 +200,15 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                             band_pad: int, use_row_filters: bool = True,
                             interpret: bool = False,
                             return_carry: bool = False,
-                            ofreq_rows=None):
+                            ofreq_rows=None, w_real=None, h_real=None):
     """Optimize a batch in transposed layout.
 
     rows_t: (H, W*bpp, B) int32. Returns (qrows_t (H, W*bpp, B) int32,
     filters (H, B) int8). ofreq_rows overrides the rows used for the
     original-frequency pre-pass (the pre-pass always covers the WHOLE
     image, optimize_state.c:66-83 — pass the full image when rows_t is a
-    slice of it)."""
+    slice of it). w_real/h_real: (B,) real sizes of padded planes (ragged
+    batching)."""
     h, wb, b = rows_t.shape
     w = wb // bpp
     table = 256 + band_pad
@@ -202,9 +219,18 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
     # original-residual histograms (ranks thereof in packed mode),
     # extended-table, filter-major lanes — ALWAYS over the whole image
     src_rows = rows_t if ofreq_rows is None else ofreq_rows
-    ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
-        jnp.moveaxis(src_rows, 2, 0).reshape(
-            b, src_rows.shape[0], w, bpp))                     # (B, 5, 256)
+    if w_real is None:
+        ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
+            jnp.moveaxis(src_rows, 2, 0).reshape(
+                b, src_rows.shape[0], w, bpp))                 # (B, 5, 256)
+    else:
+        w_real = jnp.asarray(w_real, jnp.int32)
+        h_real = (jnp.full((b,), h, jnp.int32) if h_real is None
+                  else jnp.asarray(h_real, jnp.int32))
+        ofreq = jax.vmap(
+            lambda img, wr, hr: _original_frequencies(img, bpp, wr, hr))(
+            jnp.moveaxis(src_rows, 2, 0).reshape(
+                b, src_rows.shape[0], w, bpp), w_real, h_real)
     if packed:
         ofreq = jax.vmap(_rank_tables)(ofreq)
     ofreq_ext = jnp.concatenate([ofreq, ofreq[:, :, :band_pad]], axis=2)
@@ -228,7 +254,7 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                 s_vec[None, :], bleed, adaptive, orow_t, oprev_t, qprev_t,
                 e0, e1, hist, ofreq5,
                 w=w, bpp=bpp, b=b, table=table, interpret=interpret,
-                packed=packed)
+                packed=packed, w_real=w_real)
             found_real = jnp.any(ok, axis=0)                   # (B,)
             # where C would abort ("no good row" at strength 0,
             # pngloss_image.c:268), accept the min-cost row
@@ -293,7 +319,8 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bpp", "band_pad", "interpret"))
-def _optimize_batch_pallas_image_jit(rows, strength, bleed, *, bpp, band_pad,
+def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
+                                     h_real=None, *, bpp, band_pad,
                                      interpret):
     """Row 0 via the per-row path (adaptive check + fallback), rows 1..H-1
     in ONE whole-image kernel launch (pallas_image.py)."""
@@ -304,8 +331,16 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, *, bpp, band_pad,
     table = 256 + band_pad
     rows_t = jnp.transpose(rows.astype(jnp.int32), (1, 2, 0))   # (H, Wb, B)
 
-    ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
-        jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp))
+    if w_real is None:
+        ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
+            jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp))
+    else:
+        w_real = jnp.asarray(w_real, jnp.int32)
+        h_real = (jnp.full((b,), h, jnp.int32) if h_real is None
+                  else jnp.asarray(h_real, jnp.int32))
+        ofreq = jax.vmap(
+            lambda img, wr, hr: _original_frequencies(img, bpp, wr, hr))(
+            jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp), w_real, h_real)
     ranks = jax.vmap(_rank_tables)(ofreq)
     rank_ext = jnp.concatenate([ranks, ranks[:, :, :band_pad]], axis=2)
     rank5 = jnp.transpose(rank_ext, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
@@ -317,14 +352,16 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, *, bpp, band_pad,
     q0, f0, carry = optimize_batch_pallas_t(
         rows_t[:1], strength, bleed, bpp=bpp, band_pad=band_pad,
         use_row_filters=True, interpret=interpret, return_carry=True,
-        ofreq_rows=rows_t)
+        ofreq_rows=rows_t, w_real=w_real, h_real=h_real)
     qprev_t, oprev_t, e0, e1, hist = carry
 
     s_vec = jnp.broadcast_to(strength, (1, b)).astype(jnp.int32)
+    wr5 = _tile5(jnp.full((1, b), w, jnp.int32) if w_real is None
+                 else w_real.astype(jnp.int32)[None, :])
     orig5_rows = jax.vmap(
         lambda r: _tile5(_to_stride8(r, w, bpp)))(rows_t[1:])
     qrows5, filt5 = image_rows_pallas(
-        _tile5(s_vec), bleed, rank5, orig5_rows,
+        _tile5(s_vec), bleed, wr5, rank5, orig5_rows,
         _tile5(_to_stride8(qprev_t, w, bpp)),
         _tile5(_to_stride8(oprev_t, w, bpp)),
         _tile5(e0), _tile5(e1), _tile5(hist),
@@ -341,13 +378,15 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, *, bpp, band_pad,
 
 @functools.partial(jax.jit, static_argnames=(
     "bpp", "band_pad", "use_row_filters", "interpret"))
-def _optimize_batch_pallas_jit(rows, strength, bleed, *, bpp, band_pad,
+def _optimize_batch_pallas_jit(rows, strength, bleed, w_real=None,
+                               h_real=None, *, bpp, band_pad,
                                use_row_filters, interpret):
     b, h, wb = rows.shape
     rows_t = jnp.transpose(rows.astype(jnp.int32), (1, 2, 0))   # (H, Wb, B)
     qrows_t, filters = optimize_batch_pallas_t(
         rows_t, strength, bleed, bpp=bpp, band_pad=band_pad,
-        use_row_filters=use_row_filters, interpret=interpret)
+        use_row_filters=use_row_filters, interpret=interpret,
+        w_real=w_real, h_real=h_real)
     q = jnp.transpose(qrows_t, (2, 0, 1)).astype(jnp.uint8)     # (B, H, Wb)
     return q, jnp.transpose(filters, (1, 0))
 
@@ -373,11 +412,14 @@ def max_batch_for(w: int, bpp: int, band_pad: int,
 def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
                           use_row_filters: bool = True,
                           interpret: bool | None = None,
-                          band_pad: int | None = None):
+                          band_pad: int | None = None,
+                          w_real=None, h_real=None):
     """Pallas-kernel counterpart of optimize.optimize_batch.
 
     rows: (B, H, W*bpp) uint8. strength: int or per-image (B,) values.
-    Returns ((B,H,W*bpp) uint8, (B,H) int8).
+    w_real/h_real: optional per-image (B,) real sizes of padded planes
+    (ragged batching — strength is promoted to a vector so one program
+    serves every real size). Returns ((B,H,W*bpp) uint8, (B,H) int8).
     On non-TPU backends the kernel runs in interpreter mode. Batches larger
     than the kernel's VMEM budget are processed in equal-size chunks (the
     last chunk padded with copies — images are independent). When strength
@@ -393,45 +435,62 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
     traced = isinstance(rows, jax.core.Tracer) or isinstance(strength, jax.core.Tracer)
     per_image = not np.isscalar(strength) and (
         traced or np.ndim(strength) > 0)
+    ragged = w_real is not None or h_real is not None
     if band_pad is None:
         s_max = int(np.max(strength)) if per_image else int(strength)
         band_pad = band_pad_for(s_max)
     s_arr = (jnp.asarray(strength, jnp.int32) if per_image
              else jnp.int32(strength))
+    if ragged:
+        # promote everything per-image so one program serves all sizes
+        per_image = True
+        s_arr = jnp.broadcast_to(s_arr, (b,))
+        w_real = (jnp.full((b,), wb // bpp, jnp.int32) if w_real is None
+                  else jnp.asarray(w_real, jnp.int32))
+        h_real = (jnp.full((b,), rows.shape[1], jnp.int32) if h_real is None
+                  else jnp.asarray(h_real, jnp.int32))
     use_image = _image_kernel_eligible(rows.shape[1], wb // bpp, bpp,
                                        use_row_filters)
 
-    def _run(part, s_part):
+    def _run(part, s_part, wr=None, hr=None):
         if use_image:
             return _optimize_batch_pallas_image_jit(
-                part, s_part, jnp.int32(bleed), bpp=bpp, band_pad=band_pad,
-                interpret=interpret)
+                part, s_part, jnp.int32(bleed), wr, hr,
+                bpp=bpp, band_pad=band_pad, interpret=interpret)
         return _optimize_batch_pallas_jit(
-            part, s_part, jnp.int32(bleed), bpp=bpp, band_pad=band_pad,
+            part, s_part, jnp.int32(bleed), wr, hr,
+            bpp=bpp, band_pad=band_pad,
             use_row_filters=use_row_filters, interpret=interpret)
 
     if traced:
         # inside an outer trace (shard_map/jit): no host-side chunking
-        return _run(rows, s_arr)
+        return _run(rows, s_arr, w_real, h_real)
     if use_image:
         from pngloss_tpu.ops.pallas_image import max_batch_image
         chunk = min(b, max_batch_image(wb // bpp, bpp, band_pad))
     else:
         chunk = min(b, max_batch_for(wb // bpp, bpp, band_pad))
     if b <= chunk:
-        return _run(rows, s_arr)
+        return _run(rows, s_arr, w_real, h_real)
+
+    def _pad(a, n):
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (chunk - n,) + a.shape[1:])])
+
     qs, fs = [], []
     for i in range(0, b, chunk):
         part = rows[i:i + chunk]
         s_part = s_arr[i:i + chunk] if per_image else s_arr
+        wr = w_real[i:i + chunk] if ragged else None
+        hr = h_real[i:i + chunk] if ragged else None
         n = part.shape[0]
         if n < chunk:
-            part = jnp.concatenate(
-                [part, jnp.broadcast_to(part[:1], (chunk - n,) + part.shape[1:])])
+            part = _pad(part, n)
             if per_image:
-                s_part = jnp.concatenate(
-                    [s_part, jnp.broadcast_to(s_part[:1], (chunk - n,))])
-        q, f = _run(part, s_part)
+                s_part = _pad(s_part, n)
+            if ragged:
+                wr, hr = _pad(wr, n), _pad(hr, n)
+        q, f = _run(part, s_part, wr, hr)
         qs.append(np.asarray(q)[:n])
         fs.append(np.asarray(f)[:n])
     return np.concatenate(qs), np.concatenate(fs)

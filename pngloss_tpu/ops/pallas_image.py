@@ -66,7 +66,7 @@ def _bitlength(n):
     return exp - 126  # floor(log2 n) + 1
 
 
-def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
+def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                   qprev0_ref, oprev0_ref, e00_ref, e10_ref, hist0_ref,
                   qrow_out_ref, filt_out_ref,
                   err0_s, e0n_s, e1n_s, hist_s, qprev_s, oprev_s, dma_sem,
@@ -74,6 +74,10 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
     """Grid over y = 1..H-1 (program_id 0 = y-1). Shapes (L = 5B lanes):
       s_ref       (1, L)        per-lane strength
       bleed_ref   (1, 1)        SMEM
+      wr_ref      (1, L)        per-lane real width (ragged batching:
+                  pixels x >= wr neither count in the histogram/cost nor
+                  diffuse error; padded ROWS need no mask — they follow
+                  every real row, so nothing real depends on them)
       rank_ref    (TABLE, L)    8-bit ofreq ranks (packed-key payload)
       orig_row_ref(1, 8W, L)    this row's original pixels (blocked input)
       qprev0_ref / oprev0_ref / e00_ref / e10_ref / hist0_ref:
@@ -111,6 +115,7 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
 
     def body(x, carry):
         left, prev_above, prev_orig, prev_oprev, e_hi, e_lo = carry
+        cmask = (x < wr_ref[:, :]).astype(jnp.int32)        # (1, L)
         orig_px = orig_row_ref[0, pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         above_px = qprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         oprev_px = oprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
@@ -180,7 +185,7 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
                 here_c = jnp.where(transp, 0, here_c)
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
-            hist_s[:, :] = hist + ((iota_t & 0xFF) == sym_byte) * 256
+            hist_s[:, :] = hist + ((iota_t & 0xFF) == sym_byte) * (256 * cmask)
 
             # derivative error (optimize_state.c:265-289), accumulated
             # in-scan: all six neighbor values are at hand, so the tail
@@ -194,6 +199,7 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
                                  + d_left * d_left)
             backs.append(back_c)
             heres.append(here_c)
+        e_px = e_px * cmask
 
         ri8 = lax.broadcasted_iota(jnp.int32, (STRIDE, l5), 0)
         back_px = jnp.zeros((STRIDE, l5), jnp.int32)
@@ -203,7 +209,7 @@ def _image_kernel(s_ref, bleed_ref, rank_ref, orig_row_ref,
 
         lanes = {1: [0, 0, 0, None], 2: [0, 0, 0, 1],
                  3: [0, 1, 2, None], 4: [0, 1, 2, 3]}[bpp]
-        diffs = [heres[c] - backs[c] for c in range(bpp)]
+        diffs = [(heres[c] - backs[c]) * cmask for c in range(bpp)]
         twos_l, threes_l, fours_l, five_l, rem_l = ([None] * 4 for _ in range(5))
         cache = {}
         for i in range(4):
@@ -333,11 +339,12 @@ def max_batch_image(w: int, bpp: int, band_pad: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "w", "h", "bpp", "b", "table", "interpret"))
-def image_rows_pallas(s5, bleed, rank5, orig5_rows, qprev0, oprev0, e00, e10,
-                      hist0, *, w: int, h: int, bpp: int, b: int, table: int,
-                      interpret: bool = False):
+def image_rows_pallas(s5, bleed, wr5, rank5, orig5_rows, qprev0, oprev0, e00,
+                      e10, hist0, *, w: int, h: int, bpp: int, b: int,
+                      table: int, interpret: bool = False):
     """Run rows 1..H-1 in one kernel. orig5_rows: (H-1, 8W, L) pre-tiled
-    original rows 1..H-1; the row-0 winner state seeds the scratch. Returns
+    original rows 1..H-1; the row-0 winner state seeds the scratch. wr5:
+    (1, L) per-lane real widths (ragged batching). Returns
     (qrows (H-1, 8W, L) winner-broadcast, filters (H-1, 1, L),
      filters (H-1, 1, L))."""
     l5 = NUM_FILTERS * b
@@ -360,7 +367,7 @@ def image_rows_pallas(s5, bleed, rank5, orig5_rows, qprev0, oprev0, e00, e10,
         grid=grid,
         out_shape=out_shapes,
         in_specs=[
-            vm, sm, vm,
+            vm, sm, vm, vm,
             pl.BlockSpec((1, rows_px, l5), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # qprev0 (HBM)
@@ -389,5 +396,6 @@ def image_rows_pallas(s5, bleed, rank5, orig5_rows, qprev0, oprev0, e00, e10,
     )(
         s5.astype(jnp.int32),
         jnp.reshape(bleed.astype(jnp.int32), (1, 1)),
+        wr5.astype(jnp.int32),
         rank5, orig5_rows, qprev0, oprev0, e00, e10, hist0,
     )

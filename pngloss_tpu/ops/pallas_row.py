@@ -68,13 +68,17 @@ def _tdiv_shift(a, k: int):
     return jnp.where(a < 0, -q, q)
 
 
-def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
+def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 hist_ref, ofreq_ref, qrow_ref, hist_out_ref, e0n_ref, e1n_ref,
                 err0_ref, *, w: int, bpp: int, b: int, table: int,
                 packed: bool = False):
     """See module docstring. Shapes (L = 5B lanes, filter-major; S = 8):
       s_ref               : (1, L)        int32  per-lane strength
       bleed_ref           : (1, 1)        int32  (SMEM)
+      wr_ref              : (1, L)        int32  per-lane real width (ragged
+                            batching: pixels x >= wr neither count in the
+                            histogram nor diffuse error — their diffusion
+                            would reach REAL columns of the next row)
       orig_ref, qprev_ref : (S*W, L)      int32  original / quantized prev row
       e0_ref, e1_ref      : (S*(W+5), L)  int32  dither rows 0/1 at row start
       hist_ref            : (TABLE, L)    int32  carried adaptive histogram
@@ -122,6 +126,7 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
         # left: tuple of bpp (1, L) quantized left-pixel channels;
         # prev_above: (S, L) previous pixel of the quantized previous row
         # (the diagonal neighbor — carried to avoid a fourth block read)
+        cmask = (x < wr_ref[:, :]).astype(jnp.int32)        # (1, L)
         orig_px = orig_ref[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         above_px = qprev_ref[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         ce_px = err0_ref[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
@@ -212,7 +217,7 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 here_c = jnp.where(transp, 0, here_c)
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
-            inc = (iota_t & 0xFF) == sym_byte
+            inc = ((iota_t & 0xFF) == sym_byte) * cmask
             hist_out_ref[:, :] = hist + (inc * 256 if packed else inc)
             backs.append(back_c)
             heres.append(here_c)
@@ -229,7 +234,7 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
         # per dither row
         lanes = {1: [0, 0, 0, None], 2: [0, 0, 0, 1],
                  3: [0, 1, 2, None], 4: [0, 1, 2, 3]}[bpp]
-        diffs = [heres[c] - backs[c] for c in range(bpp)]
+        diffs = [(heres[c] - backs[c]) * cmask for c in range(bpp)]
         twos_l, threes_l, fours_l, five_l, rem_l = ([None] * 4 for _ in range(5))
         cache = {}
         for i in range(4):
@@ -277,17 +282,20 @@ def _row_kernel(s_ref, bleed_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("w", "bpp", "b", "table", "interpret", "packed"))
-def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5, *,
-                       w: int, bpp: int, b: int, table: int,
+def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5,
+                       wr5=None, *, w: int, bpp: int, b: int, table: int,
                        interpret: bool = False, packed: bool = False):
     """Quantize one row for B images x 5 filters. Array inputs are pre-tiled
     to L = 5B filter-major lanes and pixel/column-indexed arrays use the
     8-sublane stride layout. In packed mode hist5 carries freq*256+rank
-    packed keys (ofreq5 is then unused by the kernel). Returns
+    packed keys (ofreq5 is then unused by the kernel). wr5: optional (1, L)
+    per-lane real widths of padded rows (ragged batching). Returns
     (qrow (8W,L), hist (TABLE,L), e0n (8(W+5),L), e1n (8(W+5),L))."""
     l5 = NUM_FILTERS * b
     rows_px = STRIDE * w
     rows_e = STRIDE * (w + 5)
+    if wr5 is None:
+        wr5 = jnp.full((1, l5), w, jnp.int32)
     out_shapes = (
         jax.ShapeDtypeStruct((rows_px, l5), jnp.int32),
         jax.ShapeDtypeStruct((table, l5), jnp.int32),
@@ -305,7 +313,7 @@ def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5, *,
     return pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[vmem, smem, vmem, vmem, vmem, vmem, vmem, vmem],
+        in_specs=[vmem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem],
         out_specs=(vmem, vmem, vmem, vmem),
         scratch_shapes=[pltpu.VMEM((rows_e, l5), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
@@ -313,5 +321,6 @@ def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5, *,
     )(
         s5.astype(jnp.int32),
         jnp.reshape(bleed.astype(jnp.int32), (1, 1)),
+        wr5.astype(jnp.int32),
         orig8, qprev8, e08, e18, hist5, ofreq5,
     )

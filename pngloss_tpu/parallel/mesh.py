@@ -39,7 +39,7 @@ def pad_to_multiple(n: int, m: int) -> int:
 def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
                            bpp: int, use_row_filters: bool = True,
                            mesh: Mesh | None = None, impl: str = "auto",
-                           fetch: bool = True):
+                           fetch: bool = True, w_real=None, h_real=None):
     """Batch optimize with the batch axis sharded over a device mesh.
 
     rows: (B, H, W*bpp) uint8 host array. B is padded up to a multiple of the
@@ -52,6 +52,9 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
     fetch=False returns the still-on-device (padded) jax arrays plus the
     valid batch size: (q_dev, filters_dev, b) — the caller overlaps the
     device→host copy with other work (pipeline.py's feed/drain pools).
+
+    w_real/h_real: per-image real sizes of padded planes (ragged
+    batching); they shard along the batch axis with the rows.
     """
     from pngloss_tpu.ops import optimize_batch_auto
 
@@ -60,14 +63,26 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
     n_dev = mesh.devices.size
     b = rows.shape[0]
     b_pad = pad_to_multiple(b, n_dev)
-    per_image = not np.isscalar(strength)
-    s_arr = np.asarray(strength, np.int32) if per_image else None
+    ragged = w_real is not None or h_real is not None
+    per_image = not np.isscalar(strength) or ragged
+    s_arr = (np.broadcast_to(np.asarray(strength, np.int32), (b,))
+             if per_image else None)
+    if ragged:
+        w_real = (np.full((b,), rows.shape[2] // bpp, np.int32)
+                  if w_real is None else np.asarray(w_real, np.int32))
+        h_real = (np.full((b,), rows.shape[1], np.int32)
+                  if h_real is None else np.asarray(h_real, np.int32))
+
+    def _pad_b(a):
+        return np.concatenate(
+            [a, np.broadcast_to(a[:1], (b_pad - b,) + a.shape[1:])])
+
     if b_pad != b:
-        rows = np.concatenate(
-            [rows, np.broadcast_to(rows[:1], (b_pad - b,) + rows.shape[1:])])
+        rows = _pad_b(rows)
         if per_image:
-            s_arr = np.concatenate(
-                [s_arr, np.broadcast_to(s_arr[:1], (b_pad - b,))])
+            s_arr = _pad_b(s_arr)
+        if ragged:
+            w_real, h_real = _pad_b(w_real), _pad_b(h_real)
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
     rows_dev = jax.device_put(np.ascontiguousarray(rows), sharding)
     # Pallas must interpret when the mesh lives on CPU devices, regardless
@@ -84,12 +99,22 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
             optimize_batch_auto, bleed=bleed, bpp=bpp,
             use_row_filters=use_row_filters, impl=impl,
             band_pad=band_pad_for(int(s_arr.max())), interpret=interp)
-        sharded = jax.shard_map(
-            lambda r, s: fn(r, strength=s), mesh=mesh,
-            in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
-            out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
-        q, filters = jax.jit(sharded)(
-            rows_dev, jax.device_put(s_arr, sharding))
+        if ragged:
+            sharded = jax.shard_map(
+                lambda r, s, wr, hr: fn(r, strength=s, w_real=wr, h_real=hr),
+                mesh=mesh, in_specs=(P(BATCH_AXIS),) * 4,
+                out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
+            q, filters = jax.jit(sharded)(
+                rows_dev, jax.device_put(s_arr, sharding),
+                jax.device_put(w_real, sharding),
+                jax.device_put(h_real, sharding))
+        else:
+            sharded = jax.shard_map(
+                lambda r, s: fn(r, strength=s), mesh=mesh,
+                in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)), check_vma=False)
+            q, filters = jax.jit(sharded)(
+                rows_dev, jax.device_put(s_arr, sharding))
     else:
         fn = functools.partial(
             optimize_batch_auto, strength=strength, bleed=bleed, bpp=bpp,

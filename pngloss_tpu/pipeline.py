@@ -164,8 +164,24 @@ class _PendingBucket:
     """One dispatched shape bucket, results still on device."""
     idxs: list[int]            # image indices covered by this bucket
     bpp: int
-    q_dev: object              # device array (B_pad, H, W*bpp) uint8
-    f_dev: object              # device array (B_pad, H) int8
+    q_dev: object              # device array (B_pad, H_pad, W_pad*bpp) uint8
+    f_dev: object              # device array (B_pad, H_pad) int8
+    dims: list[tuple[int, int]]  # per-image real (H, W*bpp) to slice out
+
+
+_SIZE_LADDER = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def pad_dim(n: int) -> int:
+    """Ragged-batching pad ladder: ~1.5x geometric steps below 512 (absolute
+    waste is tiny there), multiples of 256 above (waste <= ~50% of a step).
+    A corpus of arbitrary sizes therefore compiles O(few) device programs
+    per bpp instead of one per distinct (H, W) — each compile through the
+    remote TPU toolchain costs minutes (SURVEY §7 hard-part 7)."""
+    for v in _SIZE_LADDER:
+        if n <= v:
+            return v
+    return -(-n // 256) * 256
 
 
 def _msad_choice_np(prev: np.ndarray, row: np.ndarray, bpp: int) -> int:
@@ -192,7 +208,7 @@ def _msad_choice_np(prev: np.ndarray, row: np.ndarray, bpp: int) -> int:
     return int(np.argmin(sums))
 
 
-def _warn_abort_fallbacks(q: np.ndarray, f: np.ndarray, bpp: int) -> None:
+def _warn_abort_fallbacks(qs, fs, bpp: int) -> None:
     """Where the C tool abort()s ("no good row" at strength 0,
     pngloss_image.c:268), the device paths emit the min-cost row instead —
     a documented byte-parity deviation in a case the reference considers
@@ -200,9 +216,8 @@ def _warn_abort_fallbacks(q: np.ndarray, f: np.ndarray, bpp: int) -> None:
     in CLI mode) so any real-world occurrence is visible."""
     import warnings
 
-    zeros = np.zeros_like(q[0, 0])
-    hit = sum(1 for j in range(q.shape[0])
-              if _msad_choice_np(zeros, q[j, 0], bpp) != int(f[j, 0]))
+    hit = sum(1 for q, f in zip(qs, fs)
+              if _msad_choice_np(np.zeros_like(q[0]), q[0], bpp) != int(f[0]))
     if hit:
         warnings.warn(
             f"pngloss divergence: {hit} image(s) had no adaptive-consistent "
@@ -212,71 +227,98 @@ def _warn_abort_fallbacks(q: np.ndarray, f: np.ndarray, bpp: int) -> None:
 
 def dispatch_buckets(works, bpps, strength, bleed: int = 2, *,
                      use_row_filters: bool = True, mesh=None,
-                     impl: str = "auto") -> list[_PendingBucket]:
-    """Bucket working-format planes by (H, W*bpp, bpp) and dispatch device
-    programs WITHOUT waiting for results. Device→host copies are started
-    immediately so they stream while later chunks compute.
+                     impl: str = "auto",
+                     ragged: bool | None = None) -> list[_PendingBucket]:
+    """Bucket working-format planes and dispatch device programs WITHOUT
+    waiting for results. Device→host copies are started immediately so
+    they stream while later chunks compute.
+
+    Ragged batching (default on; PNGLOSS_RAGGED=0 or ragged=False for
+    exact shapes): each plane is zero-padded up to the pad_dim ladder and
+    bucketed by PADDED shape, with the real (H, W) passed to the kernels
+    as per-image masks — so a corpus of arbitrary sizes shares O(few)
+    compiled programs AND mixed sizes batch together, while outputs stay
+    byte-identical to unpadded runs.
 
     Buckets larger than the device path's VMEM quantum are split into
     quantum-sized chunks (each its own overlappable dispatch+fetch), and
-    every chunk is padded to a small set of batch size classes so a corpus
-    of arbitrary batch sizes compiles O(few) programs per shape.
+    every chunk is padded to a small set of batch size classes.
 
     strength: scalar or per-image sequence (mixed strengths share lanes —
     the band math is per-lane)."""
     from pngloss_tpu.ops import device_batch_quantum, pad_batch_size
     from pngloss_tpu.ops.optimize import band_pad_for
 
+    if ragged is None:
+        ragged = os.environ.get("PNGLOSS_RAGGED", "1") != "0"
     per_image = not np.isscalar(strength)
     s_max = int(np.max(strength)) if per_image else int(strength)
     band_pad = band_pad_for(s_max)
     buckets: dict[tuple[int, int, int], list[int]] = {}
     for i, (wk, bpp) in enumerate(zip(works, bpps)):
-        buckets.setdefault((wk.shape[0], wk.shape[1], bpp), []).append(i)
+        h, wb = wk.shape
+        key = ((pad_dim(h), pad_dim(wb // bpp) * bpp, bpp) if ragged
+               else (h, wb, bpp))
+        buckets.setdefault(key, []).append(i)
 
     pending = []
-    for (h, wb, bpp), idxs in buckets.items():
+    for (h_pad, wb_pad, bpp), idxs in buckets.items():
         quantum = (device_batch_quantum(
-            h, wb // bpp, bpp, band_pad, use_row_filters, impl)
+            h_pad, wb_pad // bpp, bpp, band_pad, use_row_filters, impl)
             if mesh is None else len(idxs))
         for lo in range(0, len(idxs), quantum):
             chunk = idxs[lo:lo + quantum]
             b_pad = pad_batch_size(len(chunk), quantum)
-            batch = np.stack([works[i] for i in chunk]
-                             + [works[chunk[0]]] * (b_pad - len(chunk)))
+            dims = [works[i].shape for i in chunk]
+            exact = all(d == (h_pad, wb_pad) for d in dims)
+            lanes = chunk + [chunk[0]] * (b_pad - len(chunk))
+            if exact:
+                batch = np.stack([works[i] for i in lanes])
+                w_real = h_real = None
+            else:
+                batch = np.zeros((b_pad, h_pad, wb_pad), np.uint8)
+                for k, i in enumerate(lanes):
+                    hh, ww = works[i].shape
+                    batch[k, :hh, :ww] = works[i]
+                w_real = np.asarray(
+                    [works[i].shape[1] // bpp for i in lanes], np.int32)
+                h_real = np.asarray(
+                    [works[i].shape[0] for i in lanes], np.int32)
             if per_image:
-                s = np.asarray([strength[i] for i in chunk]
-                               + [strength[chunk[0]]] * (b_pad - len(chunk)),
-                               np.int32)
+                s = np.asarray([strength[i] for i in lanes], np.int32)
             else:
                 s = strength
-            with tracing.stage(f"device_dispatch_{h}x{wb // bpp}x{bpp}"):
+            with tracing.stage(f"device_dispatch_{h_pad}x{wb_pad // bpp}x{bpp}"):
                 if mesh is not None:
                     qb, fb, _ = optimize_batch_sharded(
                         batch, s, bleed, bpp=bpp,
                         use_row_filters=use_row_filters, mesh=mesh,
-                        impl=impl, fetch=False)
+                        impl=impl, fetch=False,
+                        w_real=w_real, h_real=h_real)
                 else:
                     qb, fb = optimize_batch_auto(
                         batch, s, bleed, bpp=bpp, band_pad=band_pad,
-                        use_row_filters=use_row_filters, impl=impl)
+                        use_row_filters=use_row_filters, impl=impl,
+                        w_real=w_real, h_real=h_real)
             for arr in (qb, fb):
                 try:
                     arr.copy_to_host_async()
                 except AttributeError:
                     pass  # numpy (interpret paths may return host arrays)
-            pending.append(_PendingBucket(chunk, bpp, qb, fb))
+            pending.append(_PendingBucket(chunk, bpp, qb, fb, dims))
     return pending
 
 
 def collect_bucket(p: _PendingBucket):
-    """Fetch one dispatched bucket to host; returns (q (B,H,W*bpp) uint8,
-    filters (B,H) int8) trimmed to the bucket's valid batch size."""
+    """Fetch one dispatched bucket to host; returns (qs, fs) — per-image
+    lists sliced to each image's real (H, W*bpp)."""
     with tracing.stage("device_fetch"):
-        q = np.asarray(p.q_dev)[:len(p.idxs)]
-        f = np.asarray(p.f_dev)[:len(p.idxs)]
-    _warn_abort_fallbacks(q, f, p.bpp)
-    return q, f
+        q = np.asarray(p.q_dev)
+        f = np.asarray(p.f_dev)
+    qs = [q[k, :h, :wb] for k, (h, wb) in enumerate(p.dims)]
+    fs = [f[k, :h] for k, (h, _) in enumerate(p.dims)]
+    _warn_abort_fallbacks(qs, fs, p.bpp)
+    return qs, fs
 
 
 def optimize_rgba_batch(rgbas, strength=19, bleed: int = 2, *,
@@ -307,7 +349,7 @@ def optimize_rgba_batch(rgbas, strength=19, bleed: int = 2, *,
         qb, fb = collect_bucket(p)
         for j, i in enumerate(p.idxs):
             q_out[i] = restore_colorspace(qb[j], p.bpp, rgbas[i].shape[1])
-            f_out[i] = fb[j]
+            f_out[i] = np.ascontiguousarray(fb[j])
     return q_out, f_out
 
 

@@ -7,11 +7,16 @@ shell-out (pnglossapi.go:543-556):
                                strength / bleed / strip. Stores the original
                                content-addressed by SHA-224 (1296-slot disk
                                store, pnglossapi.go:443-514), compresses, and
-                               returns an HTML fragment with sizes and an
-                               <img> link.
+                               returns the full result page (compress-again
+                               form + size/percent + <img>, the Go
+                               pageMarkup template at pnglossapi.go:572-654).
   GET  {prefix}compressed.cgi  query: sum224 (base64url) / strength / bleed /
                                strip -> image/png bytes (10-entry in-memory
                                result cache, pnglossapi.go:516-560).
+  GET  {prefix}[index.html] / style.css / example.html / david[-sNN].png
+                               static site (website/index.html, style.css,
+                               example.html; the example images are produced
+                               by this package's own compressor).
 
 Concurrency is capped at 2 in-flight requests per endpoint
 (pnglossapi.go:50-51); image dimensions are capped at 3000x3000
@@ -25,7 +30,6 @@ from __future__ import annotations
 import argparse
 import base64
 import hashlib
-import html
 import os
 import re
 import struct
@@ -150,8 +154,54 @@ class Handler(BaseHTTPRequestHandler):
     def _error(self, code: int, msg: str) -> None:
         self.send_error(code, msg)
 
+    _example_cache: dict[str, bytes] = {}
+    example_source = "/root/reference/suite/david.png"
+
+    def _send(self, data: bytes, ctype: str) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _static(self, name: str) -> bool:
+        """Front page, stylesheet, example page and the example's images
+        (index.html / style.css / example.html in the reference site; the
+        example images are produced by this package's own compressor from
+        the suite's david.png instead of shipping binaries)."""
+        from pngloss_tpu import webassets
+
+        if name in ("", "index.html"):
+            self._send(webassets.index_page(self.prefix).encode(),
+                       "text/html; charset=utf-8")
+        elif name == "style.css":
+            self._send(webassets.STYLE_CSS.encode(), "text/css")
+        elif name == "example.html":
+            self._send(webassets.example_page().encode(),
+                       "text/html; charset=utf-8")
+        elif name in ("david.png", "david-s20.png", "david-s40.png"):
+            if not os.path.exists(self.example_source):
+                self._error(404, "example image unavailable")
+                return True
+            data = self._example_cache.get(name)
+            if data is None:
+                data = open(self.example_source, "rb").read()
+                if name != "david.png":
+                    from pngloss_tpu import pipeline
+
+                    data = pipeline.compress_bytes(
+                        data, int(name[7:9]), 2)
+                self._example_cache[name] = data
+            self._send(data, "image/png")
+        else:
+            return False
+        return True
+
     def do_GET(self):
         path, _, query = self.path.partition("?")
+        if path.startswith(self.prefix) and self._static(
+                path[len(self.prefix):]):
+            return
         if path != self.prefix + "compressed.cgi":
             return self._error(404, "not found")
         if not self._gates["image"].acquire(blocking=False):
@@ -242,20 +292,13 @@ class Handler(BaseHTTPRequestHandler):
             except Exception:
                 return self._error(500, "compression failed")
 
-            pct = 100.0 * len(data) / len(file_data)
-            link = (f"{self.prefix}compressed.cgi?sum224={encoded}"
-                    f"&strength={strength}&bleed={bleed}&strip={strip}")
-            page = (
-                "<!DOCTYPE html><html><body>"
-                f"<p>original {len(file_data)} bytes, compressed {len(data)}"
-                f" bytes ({pct:.1f}%)</p>"
-                f'<img src="{html.escape(link, quote=True)}" alt="compressed">'
-                "</body></html>").encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "text/html; charset=utf-8")
-            self.send_header("Content-Length", str(len(page)))
-            self.end_headers()
-            self.wfile.write(page)
+            from pngloss_tpu import webassets
+
+            page = webassets.result_page(
+                self.prefix, sum224=encoded, strength=strength, bleed=bleed,
+                strip=strip, in_size=len(file_data), out_size=len(data),
+                width=w, height=h).encode()
+            self._send(page, "text/html; charset=utf-8")
         finally:
             self._gates["page"].release()
 

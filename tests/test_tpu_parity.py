@@ -47,6 +47,28 @@ def test_compiled_image_kernel_parity(oracle, suite_dir):
 
 
 @requires_tpu
+def test_compiled_ragged_parity(oracle, suite_dir):
+    """Mixed-size images padded+masked into shared programs must stay
+    byte-identical when COMPILED on the chip (the masks ride the kernel's
+    hot loop — interpret mode is not proof)."""
+    _tpu_or_skip()
+    import numpy as np
+
+    from pngloss_tpu import codec
+    from pngloss_tpu.pipeline import compress_many
+    from tests.conftest import run_oracle
+
+    rose = codec.decode(open(os.path.join(suite_dir, "rose.png"), "rb").read())
+    pngs = []
+    for h, w in ((46, 70), (40, 61), (33, 70), (46, 57)):
+        pngs.append(codec.encode(np.ascontiguousarray(rose.rgba[:h, :w])))
+    outs = compress_many(pngs, strength=[19, 19, 40, 0])
+    for png, s, res in zip(pngs, [19, 19, 40, 0], outs):
+        assert res.error is None
+        assert res.data == run_oracle(oracle, png, s), (s, len(png))
+
+
+@requires_tpu
 def test_compiled_row_kernel_parity(oracle, suite_dir, monkeypatch):
     _tpu_or_skip()
     monkeypatch.setenv("PNGLOSS_IMAGE_KERNEL", "0")

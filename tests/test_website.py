@@ -60,6 +60,49 @@ def test_compress_and_fetch_roundtrip(server, oracle):
     assert resp.status == 200
 
 
+def test_static_pages_and_full_result_page(server, oracle):
+    # front page: the full form (file/url inputs + the three option groups)
+    page = urllib.request.urlopen(f"{server}/", timeout=30).read().decode()
+    for needle in ("compress.cgi", 'name="file"', 'name="url"',
+                   'name="strength"', 'name="bleed"', 'name="strip"',
+                   "example.html"):
+        assert needle in page, needle
+    assert urllib.request.urlopen(
+        f"{server}/index.html", timeout=30).status == 200
+    css = urllib.request.urlopen(
+        f"{server}/style.css", timeout=30)
+    assert css.headers["Content-Type"] == "text/css" and css.read()
+    ex = urllib.request.urlopen(
+        f"{server}/example.html", timeout=30).read().decode()
+    assert "david.png" in ex and "david-s40.png" in ex
+
+    # POST returns the FULL page: compress-again form with hidden sum224,
+    # pre-filled options, size/percent line and the <img>
+    rose = open(ROSE, "rb").read()
+    resp = _post_multipart(f"{server}/compress.cgi", {
+        "file": rose, "strength": b"19", "bleed": b"2", "strip": b"0"})
+    page = resp.read().decode()
+    for needle in ('name="sum224"', "Compress Again", "Start Over",
+                   "compressed.cgi?sum224=", "% of original",
+                   'width="70" height="46"'):
+        assert needle in page, needle
+
+
+def test_example_images_served(server, suite_dir):
+    from pngloss_tpu.webassets import format_size
+
+    img = urllib.request.urlopen(f"{server}/david.png", timeout=30)
+    assert img.read()[:8] == b"\x89PNG\r\n\x1a\n"
+    img = urllib.request.urlopen(f"{server}/david-s20.png", timeout=300)
+    data = img.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(data) < 18000   # README.md:97-100 — ~7kB at -s 20
+    # Go size formatting (pnglossapi.go:273-301)
+    assert format_size(9999) == "9999B"
+    assert format_size(10000) == "10kB"
+    assert format_size(12_345_678) == "12MB"
+
+
 def test_post_rejects_out_of_range_params(server):
     rose = open(ROSE, "rb").read()
     # bleed=0 would divide by zero in Sierra diffusion; strength>127
