@@ -370,8 +370,27 @@ def _run_batched(opts, mesh=None) -> int:
         entries.append([filename, outname, retval, data, img])
 
     ok = [e for e in entries if e[2] == SUCCESS]
-    qs, fs = pipeline.optimize_rgba_batch(
-        [e[4].rgba for e in ok], opts.strength, opts.bleed_divider, mesh=mesh)
+    # batched analog of the reference's per-row spinner
+    # (pngloss_image.c:214-237): one progress line per dispatched bucket
+    works, bpps = [], []
+    for e in ok:
+        work, bpp = pipeline.reduce_colorspace(e[4].rgba)
+        works.append(work)
+        bpps.append(bpp)
+    pending = pipeline.dispatch_buckets(
+        works, bpps, opts.strength, opts.bleed_divider, mesh=mesh)
+    qs, fs = [None] * len(ok), [None] * len(ok)
+    for pi, p in enumerate(pending):
+        if opts.verbose:
+            h, wb = p.q_dev.shape[1], p.q_dev.shape[2]
+            print(f"  optimizing bucket {pi + 1}/{len(pending)}: "
+                  f"{len(p.idxs)} image(s) at {wb // p.bpp}x{h}x{p.bpp}bpp",
+                  file=sys.stderr)
+        qb, fb = pipeline.collect_bucket(p)
+        for k, i in enumerate(p.idxs):
+            qs[i] = pipeline.restore_colorspace(
+                qb[k], p.bpp, ok[i][4].rgba.shape[1])
+            fs[i] = fb[k]
 
     error_count = skipped_count = 0
     latest_error = SUCCESS

@@ -174,14 +174,14 @@ _SIZE_LADDER = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
 
 def pad_dim(n: int) -> int:
     """Ragged-batching pad ladder: ~1.5x geometric steps below 512 (absolute
-    waste is tiny there), multiples of 256 above (waste <= ~50% of a step).
+    waste is tiny there), multiples of 128 above (compute waste <= ~25%).
     A corpus of arbitrary sizes therefore compiles O(few) device programs
     per bpp instead of one per distinct (H, W) — each compile through the
     remote TPU toolchain costs minutes (SURVEY §7 hard-part 7)."""
     for v in _SIZE_LADDER:
         if n <= v:
             return v
-    return -(-n // 256) * 256
+    return -(-n // 128) * 128
 
 
 def _msad_choice_np(prev: np.ndarray, row: np.ndarray, bpp: int) -> int:

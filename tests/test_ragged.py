@@ -81,7 +81,7 @@ def test_mixed_sizes_share_one_bucket():
     """Images whose padded shapes coincide batch into ONE device program."""
     from pngloss_tpu.pipeline import dispatch_buckets, collect_bucket, pad_dim
 
-    assert pad_dim(5) == 8 and pad_dim(17) == 24 and pad_dim(513) == 768
+    assert pad_dim(5) == 8 and pad_dim(17) == 24 and pad_dim(513) == 640
     rng = np.random.default_rng(73)
     sizes = [(5, 6), (8, 7), (7, 5), (6, 8)]     # all pad to (8, 8)
     works = [rng.integers(0, 256, (h, w * 3), np.uint8) for h, w in sizes]
