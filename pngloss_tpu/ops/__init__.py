@@ -22,7 +22,7 @@ def device_batch_quantum(h: int, w: int, bpp: int, band_pad: int,
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl != "pallas":
         return UNBOUNDED_BATCH
-    if _image_kernel_eligible(h, w, bpp, use_row_filters):
+    if _image_kernel_eligible(h, w, bpp, use_row_filters, band_pad):
         from pngloss_tpu.ops.pallas_image import max_batch_image
 
         return max_batch_image(w, bpp, band_pad)

@@ -298,7 +298,8 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
 
 
 def _image_kernel_eligible(h: int, w: int, bpp: int,
-                           use_row_filters: bool) -> bool:
+                           use_row_filters: bool,
+                           band_pad: int = 128) -> bool:
     """The whole-image kernel requires CLI mode (only row 0 is adaptive, so
     rows >= 1 never hit the strength fallback) and packed-key range.
 
@@ -315,7 +316,12 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
     import os
     if os.environ.get("PNGLOSS_IMAGE_KERNEL", "1") == "0":
         return False
-    return use_row_filters and h >= 2 and h * w * bpp < (1 << 22)
+    if not (use_row_filters and h >= 2 and h * w * bpp < (1 << 22)):
+        return False
+    from pngloss_tpu.ops.pallas_image import max_batch_image
+
+    # very wide rows can exceed the VMEM budget even at 128 lanes
+    return max_batch_image(w, bpp, band_pad) >= 1
 
 
 @functools.partial(jax.jit, static_argnames=("bpp", "band_pad", "interpret"))
@@ -450,7 +456,7 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
         h_real = (jnp.full((b,), rows.shape[1], jnp.int32) if h_real is None
                   else jnp.asarray(h_real, jnp.int32))
     use_image = _image_kernel_eligible(rows.shape[1], wb // bpp, bpp,
-                                       use_row_filters)
+                                       use_row_filters, band_pad)
 
     def _run(part, s_part, wr=None, hr=None):
         if use_image:

@@ -321,18 +321,36 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     oprev_s[:, :] = orig
 
 
+def vmem_limit_bytes() -> int:
+    """Per-kernel VMEM budget. 64MB default: v5e kernels up to ~80MB
+    compiled and ran in testing (the round-1 '33MB ceiling' was just the
+    default limit), and 64MB covers every 128-lane image-kernel shape the
+    eligibility rule admits. PNGLOSS_VMEM_LIMIT_MB overrides."""
+    import os
+
+    return int(os.environ.get("PNGLOSS_VMEM_LIMIT_MB", "64")) << 20
+
+
+def _rows_budget(w: int, band_pad: int) -> int:
+    # int32 rows per lane: 6 pixel-row buffers (orig in x2 + qrow out x2
+    # double-buffered, qprev/oprev scratch), 3 dither buffers, the table
+    return 6 * STRIDE * w + 3 * STRIDE * (w + 5) + (256 + band_pad)
+
+
 def max_batch_image(w: int, bpp: int, band_pad: int) -> int:
-    """Largest batch whose image-kernel VMEM footprint fits the ~33.6MB
-    scoped ceiling. Footprint is driven by LANE-PADDED buffer widths
-    (lanes round up to 128), so the sweet spots are at 5B <= k*128:
-    static bytes ~= 4 * lanes_pad * (6 row buffers + 3 dither buffers +
-    the histogram table), plus headroom for in-loop temporaries."""
-    table = 256 + band_pad
-    rows_budget = 6 * STRIDE * w + 3 * STRIDE * (w + 5) + table
-    best = 8
-    for b in range(8, 513):
+    """Batch size for the whole-image kernel, or 0 when no batch fits the
+    VMEM budget (caller falls back to the per-row kernel).
+
+    Footprint is driven by LANE-PADDED buffer widths (lanes round up to
+    128): bytes ~= 4 * lanes_pad * rows_budget + temporaries headroom.
+    The VPU saturates at ~128 lanes (measured: B=25/125 lanes 6.5 MP/s,
+    B=51/256 lanes 6.0), so batches are capped at 25 — more lanes cost
+    linearly more time for no throughput."""
+    budget = vmem_limit_bytes() - (3 << 20)
+    best = 0
+    for b in range(1, 26):
         lanes = -(-NUM_FILTERS * b // 128) * 128
-        if 4 * lanes * rows_budget + (3 << 20) <= (33 << 20):
+        if 4 * lanes * _rows_budget(w, band_pad) <= budget:
             best = b
     return best
 
@@ -360,8 +378,7 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig5_rows, qprev0, oprev0, e00,
     )
     kernel = functools.partial(
         _image_kernel, w=w, bpp=bpp, b=b, table=table)
-    import os
-    vmem_bytes = int(os.environ.get("PNGLOSS_VMEM_LIMIT_MB", "33")) << 20
+    vmem_bytes = vmem_limit_bytes()
     return pl.pallas_call(
         kernel,
         grid=grid,
