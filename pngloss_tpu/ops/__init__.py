@@ -1,6 +1,9 @@
 import jax
 
+from pngloss_tpu import compile_cache
 from pngloss_tpu.ops.optimize import optimize_batch, optimize_plane_jax
+
+compile_cache.enable()   # every compute path imports this package first
 from pngloss_tpu.ops.optimize_pallas import (
     _image_kernel_eligible,
     max_batch_for,
