@@ -172,7 +172,19 @@ def _compress_one(
 
     if opts.verbose:
         print(f"  read {(len(data) + 500) // 1000}KB file", file=sys.stderr)
-        if img.gamma != 0.45455:
+        # input-color report chain, pngloss.c:241-254
+        if img.icc_note == "iccp":
+            print("  used embedded ICC profile to transform image to sRGB"
+                  " colorspace", file=sys.stderr)
+        elif img.icc_note == "gama_chrm":
+            print("  used gAMA and cHRM chunks to transform image to sRGB"
+                  " colorspace", file=sys.stderr)
+        elif img.icc_note == "iccp_warn_gray":
+            print("  warning: ignored ICC profile in GRAY colorspace",
+                  file=sys.stderr)
+        elif img.color_transform == codec.pypng.COLOR_SRGB:
+            print("  passing sRGB tag from the input", file=sys.stderr)
+        elif img.gamma != 0.45455:
             print(f"  converted image from gamma {1.0 / img.gamma:2.1f}"
                   " to gamma 2.2", file=sys.stderr)
 

@@ -24,8 +24,14 @@ def decode(data: bytes, strip: bool = False) -> DecodedImage:
     from pngloss_tpu.codec import native
 
     if native.available():
-        return native.decode(data, strip=strip)
-    return pypng.decode(data, strip=strip)
+        img = native.decode(data, strip=strip)
+    else:
+        img = pypng.decode(data, strip=strip)
+    from pngloss_tpu.codec import icc
+
+    if icc.enabled():
+        img.icc_note = icc.apply(data, img)
+    return img
 
 
 def encode(rgba, row_filters=None, gamma: float = 0.45455,

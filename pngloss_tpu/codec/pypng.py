@@ -100,6 +100,7 @@ class DecodedImage:
     color_transform: str = COLOR_NONE     # input == output transform in reference
     chunks: list[Chunk] = field(default_factory=list)
     file_size: int = 0
+    icc_note: str | None = None           # codec.icc verbose note (PNGLOSS_ICC=1)
 
     @property
     def width(self) -> int:

@@ -1,0 +1,195 @@
+"""ICC -> sRGB read transform (codec/icc.py vs rwpng.c:309-392).
+
+The reference's USE_LCMS build transforms via Little CMS; Pillow bundles
+the same library (ImageCms), so the float matrix-shaper math here is
+validated against real lcms output on a hand-built profile.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pngloss_tpu import codec
+from pngloss_tpu.codec import icc
+
+
+def _tag_xyz(v):
+    return b"XYZ " + b"\0" * 4 + b"".join(
+        struct.pack(">i", int(round(x * 65536))) for x in v)
+
+
+def _tag_gamma(g: float):
+    return b"curv" + b"\0" * 4 + struct.pack(">IH", 1, int(round(g * 256)))
+
+
+def _tag_text(s: bytes):
+    return b"desc" + b"\0" * 4 + struct.pack(">I", len(s) + 1) + s + b"\0" + b"\0" * 78
+
+
+def build_matrix_profile(m_cols: np.ndarray, gamma: float) -> bytes:
+    """Minimal matrix-shaper RGB display profile lcms can open.
+    m_cols: 3x3 with COLUMNS = r/g/b XYZ(D50)."""
+    tags = [
+        (b"desc", _tag_text(b"pngloss-tpu test profile")),
+        (b"wtpt", _tag_xyz([0.9642, 1.0, 0.8249])),
+        (b"rXYZ", _tag_xyz(m_cols[:, 0])),
+        (b"gXYZ", _tag_xyz(m_cols[:, 1])),
+        (b"bXYZ", _tag_xyz(m_cols[:, 2])),
+        (b"rTRC", _tag_gamma(gamma)),
+        (b"gTRC", _tag_gamma(gamma)),
+        (b"bTRC", _tag_gamma(gamma)),
+        (b"cprt", b"text" + b"\0" * 4 + b"none\0"),
+    ]
+    table = struct.pack(">I", len(tags))
+    off = 128 + 4 + 12 * len(tags)
+    bodies = b""
+    for sig, body in tags:
+        pad = (-len(body)) % 4
+        table += sig + struct.pack(">II", off, len(body))
+        bodies += body + b"\0" * pad
+        off += len(body) + pad
+    size = 128 + 4 + 12 * len(tags) + len(bodies)
+    header = struct.pack(
+        ">I4sI4s4s4s12s4s4s", size, b"lcms", 0x04300000, b"mntr", b"RGB ",
+        b"XYZ ", b"\0" * 12, b"acsp", b"\0" * 4)
+    header = header.ljust(68, b"\0")
+    # D50 illuminant at offset 68
+    header += _tag_xyz([0.9642, 1.0, 0.8249])[8:]
+    header = header.ljust(128, b"\0")
+    return header + table + bodies
+
+
+ADOBE_CHRM = (0.3127, 0.3290, 0.64, 0.33, 0.21, 0.71, 0.15, 0.06)
+
+
+def _adobe_profile():
+    m = icc.rgb_matrix_from_chrm(ADOBE_CHRM)
+    return build_matrix_profile(m, 2.2), m
+
+
+def test_parser_roundtrip():
+    profile, m = _adobe_profile()
+    parsed = icc.parse_matrix_shaper(profile)
+    assert parsed is not None
+    m2, curves = parsed
+    assert np.allclose(m, m2, atol=2e-4)      # s15Fixed16 quantization
+    x = np.linspace(0, 1, 11)
+    assert np.allclose(curves[0](x), x ** 2.2, atol=2e-3)
+    assert icc.profile_colorspace(profile) == b"RGB "
+
+
+def test_transform_matches_littlecms():
+    ImageCms = pytest.importorskip("PIL.ImageCms")
+    from PIL import Image
+    import io
+
+    profile, m = _adobe_profile()
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 256, (16, 32, 4), np.uint8)
+
+    parsed = icc.parse_matrix_shaper(profile)
+    ours = icc.transform_rgba(rgba, parsed[0], parsed[1])
+
+    src = ImageCms.ImageCmsProfile(io.BytesIO(profile))
+    dst = ImageCms.createProfile("sRGB")
+    im = Image.fromarray(rgba[:, :, :3], "RGB")
+    xform = ImageCms.buildTransform(src, dst, "RGB", "RGB",
+                                    renderingIntent=0)   # perceptual
+    ref = np.asarray(ImageCms.applyTransform(im, xform))
+
+    diff = np.abs(ours[:, :, :3].astype(int) - ref.astype(int))
+    # lcms interpolates through 16-bit tables; a couple LSB of skew is
+    # expected, systematic errors are not
+    assert diff.max() <= 3
+    assert diff.mean() < 0.6
+    assert np.array_equal(ours[:, :, 3], rgba[:, :, 3])  # alpha untouched
+
+
+def _png_with_chunks(rgba, extra_chunks, drop=()):
+    """Encode, then splice raw chunks after IHDR."""
+    data = codec.encode(rgba)
+    out = bytearray(data[:8])
+    pos = 8
+    first = True
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        name = data[pos + 4:pos + 8]
+        chunk = data[pos:pos + 12 + length]
+        if name not in drop:
+            out += chunk
+        if first and name == b"IHDR":
+            for cname, body in extra_chunks:
+                out += struct.pack(">I", len(body)) + cname + body
+                out += struct.pack(
+                    ">I", zlib.crc32(cname + body) & 0xFFFFFFFF)
+            first = False
+        pos += 12 + length
+    return bytes(out)
+
+
+def test_iccp_branch_applies(monkeypatch):
+    monkeypatch.setenv("PNGLOSS_ICC", "1")
+    profile, _ = _adobe_profile()
+    body = b"test\0\0" + zlib.compress(profile)
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    rgba[:, :, 3] = 255
+    data = _png_with_chunks(rgba, [(b"iCCP", body)])
+
+    img = codec.decode(data)
+    assert img.icc_note == icc.NOTE_ICCP
+    assert img.gamma == 0.45455
+    assert img.color_transform == codec.pypng.COLOR_SRGB
+    assert not np.array_equal(img.rgba, rgba)   # pixels transformed
+
+    monkeypatch.setenv("PNGLOSS_ICC", "0")
+    img2 = codec.decode(data)
+    assert img2.icc_note is None                # default build: no LCMS
+    assert np.array_equal(img2.rgba, rgba)
+
+
+def test_gama_chrm_branch(monkeypatch):
+    monkeypatch.setenv("PNGLOSS_ICC", "1")
+    gama = struct.pack(">I", 45455)
+    chrm = struct.pack(">8I", *(int(round(v * 100000)) for v in ADOBE_CHRM))
+    rng = np.random.default_rng(4)
+    rgba = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    rgba[:, :, 3] = 255
+    data = _png_with_chunks(rgba, [(b"gAMA", gama), (b"cHRM", chrm)])
+
+    img = codec.decode(data)
+    assert img.icc_note == icc.NOTE_GAMA_CHRM
+    assert img.gamma == 0.45455
+    # gamma 1/0.45455 = 2.2 linearization + Adobe primaries — same math
+    # as the equivalent matrix profile
+    profile, _ = _adobe_profile()
+    parsed = icc.parse_matrix_shaper(profile)
+    expect = icc.transform_rgba(rgba, parsed[0], parsed[1])
+    assert np.abs(img.rgba[:, :, :3].astype(int)
+                  - expect[:, :, :3].astype(int)).max() <= 1
+
+    # an sRGB chunk disables the branch (rwpng.c:344-346)
+    data2 = _png_with_chunks(
+        rgba, [(b"gAMA", gama), (b"cHRM", chrm), (b"sRGB", b"\0")])
+    img2 = codec.decode(data2)
+    assert img2.icc_note is None
+
+
+def test_gray_profile_warns_only(monkeypatch):
+    monkeypatch.setenv("PNGLOSS_ICC", "1")
+    profile, _ = _adobe_profile()
+    gray = profile[:16] + b"GRAY" + profile[20:]
+    body = b"test\0\0" + zlib.compress(gray)
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rgba = np.stack([g, g, g, np.full((8, 8), 255, np.uint8)], axis=-1)
+    data = _png_with_chunks(rgba, [(b"iCCP", body)])
+    # force a grayscale IHDR color type by re-encoding through the codec
+    # (encode re-detects gray); splice onto that stream
+    img = codec.decode(data)
+    assert img.icc_note == icc.NOTE_ICCP_WARN_GRAY
+    assert np.array_equal(img.rgba, rgba)       # pixels untouched
+    assert img.color_transform == codec.pypng.COLOR_SRGB
