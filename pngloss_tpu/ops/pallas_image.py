@@ -352,10 +352,13 @@ def max_batch_image(w: int, bpp: int, band_pad: int = 0) -> int:
     The VPU saturates at ~128 lanes (measured: B=25/125 lanes 6.5 MP/s,
     B=51/256 lanes 6.0), so batches are capped at 25 — more lanes cost
     linearly more time for no throughput."""
+    import os
+
     del band_pad
+    cap = int(os.environ.get("PNGLOSS_IMAGE_BATCH_CAP", "25"))
     budget = vmem_limit_bytes() - (3 << 20)
     best = 0
-    for b in range(1, 26):
+    for b in range(1, cap + 1):
         lanes = -(-NUM_FILTERS * b // 128) * 128
         if 4 * lanes * _rows_budget(w) <= budget:
             best = b

@@ -263,9 +263,14 @@ def dispatch_buckets(works, bpps, strength, bleed: int = 2, *,
 
     pending = []
     for (h_pad, wb_pad, bpp), idxs in buckets.items():
-        quantum = (device_batch_quantum(
+        quantum = device_batch_quantum(
             h_pad, wb_pad // bpp, bpp, band_pad, use_row_filters, impl)
-            if mesh is None else len(idxs))
+        if mesh is not None:
+            # per-shard VMEM quantum scales with the mesh: each device
+            # receives quantum images per dispatch
+            n_dev = int(mesh.devices.size)
+            quantum = (quantum * n_dev if quantum < (1 << 29)
+                       else len(idxs) or 1)
         for lo in range(0, len(idxs), quantum):
             chunk = idxs[lo:lo + quantum]
             b_pad = pad_batch_size(len(chunk), quantum)
