@@ -102,3 +102,42 @@ def test_optimize_with_stride_in_place():
     got = np.stack([buf[y * stride: y * stride + w * 4].reshape(w, 4)
                     for y in range(h)])
     np.testing.assert_array_equal(got, q_ref)
+
+
+def test_mesh_quantum_chunks_buckets(monkeypatch):
+    """With a mesh, dispatch_buckets must still chunk buckets to one VMEM
+    quantum per device (a whole bucket per dispatch blows per-shard VMEM)."""
+    from pngloss_tpu import pipeline
+    from pngloss_tpu import ops
+
+    monkeypatch.setattr(ops, "UNBOUNDED_BATCH", ops.UNBOUNDED_BATCH)
+    calls = []
+    real_quantum = ops.device_batch_quantum
+
+    def fake_quantum(*a, **k):
+        return 2                      # pretend VMEM fits 2 images per device
+    monkeypatch.setattr(pipeline, "device_batch_quantum", fake_quantum,
+                        raising=False)
+    # dispatch via the module-level import inside dispatch_buckets
+    import pngloss_tpu.ops as ops_mod
+    monkeypatch.setattr(ops_mod, "device_batch_quantum", fake_quantum)
+
+    rng = np.random.default_rng(5)
+    works = [rng.integers(0, 256, (8, 9 * 3), np.uint8) for _ in range(9)]
+    mesh = data_mesh(jax.devices("cpu")[:4])
+    pending = pipeline.dispatch_buckets(
+        works, [3] * 9, 19, mesh=mesh, ragged=False)
+    # quantum 2 x 4 devices = 8 per dispatch -> 9 images need 2 dispatches
+    assert len(pending) == 2
+    for p in pending:
+        qs, fs = pipeline.collect_bucket(p)
+        assert all(q.shape == (8, 27) for q in qs)
+
+
+def test_image_batch_cap_env(monkeypatch):
+    from pngloss_tpu.ops.pallas_image import max_batch_image
+
+    monkeypatch.setenv("PNGLOSS_IMAGE_BATCH_CAP", "7")
+    assert max_batch_image(512, 3, 0) == 7
+    monkeypatch.delenv("PNGLOSS_IMAGE_BATCH_CAP")
+    assert max_batch_image(512, 3, 0) == 25
