@@ -367,18 +367,20 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
     s_vec = jnp.broadcast_to(strength, (1, b)).astype(jnp.int32)
     wr5 = _tile5(jnp.full((1, b), w, jnp.int32) if w_real is None
                  else w_real.astype(jnp.int32)[None, :])
-    orig5_rows = jax.vmap(
-        lambda r: _tile5(_to_stride8(r, w, bpp)))(rows_t[1:])
-    qrows5, filt5 = image_rows_pallas(
-        _tile5(s_vec), bleed, wr5, rank5, orig5_rows,
+    # original rows stream into the kernel UN-tiled (B lanes); the 5-filter
+    # lane replication happens in-kernel (exact bf16 selection matmul), so
+    # neither the XLA tile op nor 5x the HBM traffic is paid here
+    orig_rows = jax.vmap(lambda r: _to_stride8(r, w, bpp))(rows_t[1:])
+    qrows, filt = image_rows_pallas(
+        _tile5(s_vec), bleed, wr5, rank5, orig_rows,
         _tile5(_to_stride8(qprev_t, w, bpp)),
         _tile5(_to_stride8(oprev_t, w, bpp)),
         _tile5(e0), _tile5(e1), _tile5(hist),
         w=w, h=h, bpp=bpp, b=b, table=table, interpret=interpret)
 
-    q_rest = qrows5[:, :, :b].reshape(h - 1, w, STRIDE, b)[:, :, :bpp]
+    q_rest = qrows.reshape(h - 1, w, STRIDE, b)[:, :, :bpp]
     q_rest = q_rest.reshape(h - 1, wb, b)
-    f_rest = filt5[:, 0, :b]
+    f_rest = filt[:, 0, :]
     qrows_t = jnp.concatenate([q0, q_rest])
     filters = jnp.concatenate([f0, f_rest.astype(jnp.int8)])
     q = jnp.transpose(qrows_t, (2, 0, 1)).astype(jnp.uint8)

@@ -69,7 +69,8 @@ def _bitlength(n):
 def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                   qprev0_ref, oprev0_ref, e00_ref, e10_ref, hist0_ref,
                   qrow_out_ref, filt_out_ref,
-                  err0_s, e0n_s, e1n_s, hist_s, qprev_s, oprev_s, dma_sem,
+                  err0_s, e0n_s, e1n_s, hist_s, qprev_s, oprev_s,
+                  orig_s, qrow_s, dma_sem,
                   *, w: int, bpp: int, b: int, table: int):
     """Grid over y = 1..H-1 (program_id 0 = y-1). Shapes (L = 5B lanes):
       s_ref       (1, L)        per-lane strength
@@ -79,13 +80,19 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                   diffuse error; padded ROWS need no mask — they follow
                   every real row, so nothing real depends on them)
       rank_ref    (TABLE, L)    8-bit ofreq ranks (packed-key payload)
-      orig_row_ref(1, 8W, L)    this row's original pixels (blocked input)
+      orig_row_ref(1, 8W, B)    this row's original pixels (blocked input,
+                  UN-tiled batch lanes: the 5-filter replication to L lanes
+                  happens in-kernel via an exact bf16 selection matmul, so
+                  the streamed HBM array is 5x smaller than the lane layout)
       qprev0_ref / oprev0_ref / e00_ref / e10_ref / hist0_ref:
                   row-0 winner state (read at the first grid step)
-      qrow_out_ref(1, 8W, L)    quantized row (blocked output)
-      filt_out_ref(1, 1, L)     winner filter id per lane (blocked output)
-      hist_fin_ref/e0_fin_ref/e1_fin_ref: final state (written at last step)
-      *_s         VMEM scratch persisting across grid steps
+      qrow_out_ref(1, 8W, B)    quantized winner row (blocked output,
+                  B lanes — extracted in-kernel by a selection matmul)
+      filt_out_ref(1, 1, B)     winner filter id per image (blocked output)
+      *_s         VMEM scratch persisting across grid steps; orig_s/qrow_s
+                  hold the L-lane tiled original / candidate rows (lane
+                  slicing at non-128 boundaries is not Mosaic-lowerable,
+                  so the narrow blocks cannot double as scratch)
     """
     l5 = s_ref.shape[1]
     bleed = bleed_ref[0, 0]
@@ -113,10 +120,22 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     hw_seed = hist_s[:, :] * 256 + rank_ref[:, :]
     hist_s[:, :] = hw_seed
 
+    # replicate this row's B-lane original block into all 5 filter blocks:
+    # orig_s = orig @ E with E[i, j] = (j mod b == i). Exact arithmetic:
+    # pixel bytes (<= 255) are exact in bf16 and each output element sums
+    # exactly one nonzero product in f32. One tiny MXU op replaces the
+    # XLA-side 5x lane tile (and 5x of the streamed input HBM traffic).
+    e_tile = (lax.broadcasted_iota(jnp.int32, (b, l5), 0)
+              == lax.broadcasted_iota(jnp.int32, (b, l5), 1) % b)
+    orig_s[:, :] = jnp.dot(
+        orig_row_ref[0, :, :].astype(jnp.bfloat16),
+        e_tile.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
     def body(x, carry):
         left, prev_above, prev_orig, prev_oprev, e_hi, e_lo = carry
         cmask = (x < wr_ref[:, :]).astype(jnp.int32)        # (1, L)
-        orig_px = orig_row_ref[0, pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
+        orig_px = orig_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         above_px = qprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         oprev_px = oprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         ce_px = err0_s[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
@@ -209,7 +228,7 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
         back_px = jnp.zeros((STRIDE, l5), jnp.int32)
         for c in range(bpp):
             back_px = jnp.where(ri8 == c, backs[c], back_px)
-        qrow_out_ref[0, pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back_px
+        qrow_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back_px
 
         lanes = {1: [0, 0, 0, None], 2: [0, 0, 0, 1],
                  3: [0, 1, 2, None], 4: [0, 1, 2, 3]}[bpp]
@@ -282,8 +301,8 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     total_cost = jnp.sum(counts * bits, axis=0, keepdims=True)   # (1, L)
 
     cost = total_cost + e_hi + (e_lo >> 7)
-    qrow = qrow_out_ref[0, :, :]
-    orig = orig_row_ref[0, :, :]
+    qrow = qrow_s[:, :]
+    orig = orig_s[:, :]
 
     # ---- winner mask: min cost over the 5 filter blocks, ties -> lowest f.
     # The circular roll-min places the global per-image minimum in EVERY
@@ -304,7 +323,14 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     # broadcast accumulates into its destination ref holding ONE masked
     # temporary — naive expressions kept several row-sized temporaries
     # live at once and blew the ~33MB scoped-VMEM ceiling ----
-    filt_out_ref[0, :, :] = _roll_bcast(maski * f_lane, b)
+    # B-lane outputs via the block-sum selection matmul E3[j, i] =
+    # (j mod b == i): maski zeroes all but the winning block, so the sum
+    # over blocks IS the winner (values <= 255, exact in bf16/f32)
+    e_sel = (lax.broadcasted_iota(jnp.int32, (l5, b), 0) % b
+             == lax.broadcasted_iota(jnp.int32, (l5, b), 1)).astype(jnp.bfloat16)
+    filt_out_ref[0, :, :] = jnp.dot(
+        (maski * f_lane).astype(jnp.bfloat16), e_sel,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     hist_s[:, :] = _roll_bcast(maski * (hw >> 8), b)
 
     def bcast_into(dst, masked):
@@ -313,8 +339,10 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
             dst[:, :] = dst[:, :] + pltpu.roll(masked, k * b, axis=1)
 
     mq = maski * qrow
+    qrow_out_ref[0, :, :] = jnp.dot(
+        mq.astype(jnp.bfloat16), e_sel,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     bcast_into(qprev_s, mq)
-    qrow_out_ref[0, :, :] = qprev_s[:, :]
     del mq
     m0 = maski * e0n_s[:, :]
     bcast_into(err0_s, m0)
@@ -336,10 +364,11 @@ def vmem_limit_bytes() -> int:
 
 
 def _rows_budget(w: int) -> int:
-    # int32 rows per lane: 6 pixel-row buffers (orig in x2 + qrow out x2
-    # double-buffered, qprev/oprev scratch), 3 dither buffers, the table
-    # (modular: exactly 256 rows for every strength)
-    return 6 * STRIDE * w + 3 * STRIDE * (w + 5) + 256
+    # int32 rows per lane: 8 pixel-row buffers (orig in x2 + qrow out x2
+    # double-buffered — B-lane blocks, but VMEM pads lanes to 128 so they
+    # cost the same as L-lane; qprev/oprev/orig_s/qrow_s scratch), 3 dither
+    # buffers, the table (modular: exactly 256 rows for every strength)
+    return 8 * STRIDE * w + 3 * STRIDE * (w + 5) + 256
 
 
 def max_batch_image(w: int, bpp: int, band_pad: int = 0) -> int:
@@ -367,14 +396,14 @@ def max_batch_image(w: int, bpp: int, band_pad: int = 0) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "w", "h", "bpp", "b", "table", "interpret"))
-def image_rows_pallas(s5, bleed, wr5, rank5, orig5_rows, qprev0, oprev0, e00,
+def image_rows_pallas(s5, bleed, wr5, rank5, orig_rows, qprev0, oprev0, e00,
                       e10, hist0, *, w: int, h: int, bpp: int, b: int,
                       table: int, interpret: bool = False):
-    """Run rows 1..H-1 in one kernel. orig5_rows: (H-1, 8W, L) pre-tiled
-    original rows 1..H-1; the row-0 winner state seeds the scratch. wr5:
-    (1, L) per-lane real widths (ragged batching). Returns
-    (qrows (H-1, 8W, L) winner-broadcast, filters (H-1, 1, L),
-     filters (H-1, 1, L))."""
+    """Run rows 1..H-1 in one kernel. orig_rows: (H-1, 8W, B) un-tiled
+    original rows 1..H-1 (the kernel replicates to L lanes itself); the
+    row-0 winner state seeds the scratch. wr5: (1, L) per-lane real widths
+    (ragged batching). Returns (qrows (H-1, 8W, B) winner rows,
+    filters (H-1, 1, B))."""
     l5 = NUM_FILTERS * b
     rows_px = STRIDE * w
     rows_e = STRIDE * (w + 5)
@@ -383,8 +412,8 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig5_rows, qprev0, oprev0, e00,
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shapes = (
-        jax.ShapeDtypeStruct((n, rows_px, l5), jnp.int32),
-        jax.ShapeDtypeStruct((n, 1, l5), jnp.int32),
+        jax.ShapeDtypeStruct((n, rows_px, b), jnp.int32),
+        jax.ShapeDtypeStruct((n, 1, b), jnp.int32),
     )
     kernel = functools.partial(
         _image_kernel, w=w, bpp=bpp, b=b, table=table)
@@ -395,7 +424,7 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig5_rows, qprev0, oprev0, e00,
         out_shape=out_shapes,
         in_specs=[
             vm, sm, vm, vm,
-            pl.BlockSpec((1, rows_px, l5), lambda y: (y, 0, 0),
+            pl.BlockSpec((1, rows_px, b), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # qprev0 (HBM)
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # oprev0 (HBM)
@@ -404,9 +433,9 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig5_rows, qprev0, oprev0, e00,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # hist0 (HBM)
         ],
         out_specs=(
-            pl.BlockSpec((1, rows_px, l5), lambda y: (y, 0, 0),
+            pl.BlockSpec((1, rows_px, b), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l5), lambda y: (y, 0, 0),
+            pl.BlockSpec((1, 1, b), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -416,6 +445,8 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig5_rows, qprev0, oprev0, e00,
             pltpu.VMEM((table, l5), jnp.int32),    # hist (packed in-row)
             pltpu.VMEM((rows_px, l5), jnp.int32),  # qprev
             pltpu.VMEM((rows_px, l5), jnp.int32),  # oprev
+            pltpu.VMEM((rows_px, l5), jnp.int32),  # orig_s (L-lane tiled)
+            pltpu.VMEM((rows_px, l5), jnp.int32),  # qrow_s (candidates)
             pltpu.SemaphoreType.DMA,               # init-state copies
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
@@ -424,5 +455,5 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig5_rows, qprev0, oprev0, e00,
         s5.astype(jnp.int32),
         jnp.reshape(bleed.astype(jnp.int32), (1, 1)),
         wr5.astype(jnp.int32),
-        rank5, orig5_rows, qprev0, oprev0, e00, e10, hist0,
+        rank5, orig_rows, qprev0, oprev0, e00, e10, hist0,
     )
