@@ -43,6 +43,7 @@ Exact C integer semantics are preserved throughout in int32:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -114,25 +115,38 @@ def _original_frequencies(orig: jnp.ndarray, bpp: int,
         weight = weight * (jnp.arange(h)[:, None] < h_real)
     weight = jnp.broadcast_to(weight[:, :, None], orig.shape)
     # TPU scatter-add is ~20x slower than a one-hot contraction on the MXU
-    # (measured 901ms vs 47ms for a 25-image RGB batch); the bf16 one-hot
-    # dot accumulates exactly in f32 while counts stay below 2^24
+    # (measured 901ms vs 47ms for a 25-image RGB batch).  The contraction
+    # itself is cheap — the cost is GENERATING the (n, 256) one-hot in
+    # VMEM — so the histogram is computed as a nibble OUTER PRODUCT:
+    #   hist[16*i + j] = sum_s w_s * [hi_s == i] * [lo_s == j]
+    # i.e. one (n, 5*16)^T @ (n, 5*16) matmul whose 16x16 diagonal blocks
+    # are the five filters' 256-bin histograms — 8x less one-hot
+    # generation and ONE MXU stream over the samples instead of five.
+    # Exact: weights/one-hots are 0/1 (exact in bf16), each product is
+    # 0/1, and f32 accumulation of counts is exact below 2^24.
     n = orig.size
-    use_dot = jax.default_backend() == "tpu" and n < (1 << 24)
+    use_dot = ((jax.default_backend() == "tpu"
+                or os.environ.get("PNGLOSS_FORCE_HIST_DOT") == "1")
+               and n < (1 << 24))
     wvec = weight.ravel()
-    hists = []
-    for f in range(NUM_FILTERS):
-        pred = _predict5(above, diag, left, f)
-        sym = (orig - pred) & 0xFF
-        if use_dot:
-            oh = (sym.ravel()[:, None]
-                  == jnp.arange(256, dtype=sym.dtype)[None, :])
-            hist = jnp.dot(
-                wvec.astype(jnp.bfloat16), oh.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32).astype(jnp.int32)
-        else:
-            hist = jnp.zeros((256,), jnp.int32).at[sym.ravel()].add(wvec)
-        hists.append(hist)
-    return jnp.stack(hists)
+    syms = jnp.stack(
+        [((orig - _predict5(above, diag, left, f)) & 0xFF).ravel()
+         for f in range(NUM_FILTERS)], axis=-1)          # (n, 5)
+    if use_dot:
+        i16 = jnp.arange(16, dtype=syms.dtype)
+        a = ((syms[:, :, None] >> 4) == i16) * wvec[:, None, None]
+        bm = (syms[:, :, None] & 15) == i16
+        full = jnp.einsum(
+            "nk,nl->kl",
+            a.reshape(n, NUM_FILTERS * 16).astype(jnp.bfloat16),
+            bm.reshape(n, NUM_FILTERS * 16).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        full = full.reshape(NUM_FILTERS, 16, NUM_FILTERS, 16)
+        return jnp.stack(
+            [full[f, :, f, :].reshape(256) for f in range(NUM_FILTERS)])
+    return jnp.stack(
+        [jnp.zeros((256,), jnp.int32).at[syms[:, f]].add(wvec)
+         for f in range(NUM_FILTERS)])
 
 
 def _adaptive_filter(qprev: jnp.ndarray, qrow: jnp.ndarray,

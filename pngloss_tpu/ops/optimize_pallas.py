@@ -35,6 +35,14 @@ from pngloss_tpu.ops.pallas_row import STRIDE, row_attempt_pallas
 NUM_FILTERS = 5
 _I32_MAX = (1 << 31) - 1
 
+# packed-key selection (key = freq*256 + rank, rank < 256) is exact while
+# the key fits int32: freq <= 2^23 - 1 gives key <= (2^23-1)*256 + 255 =
+# INT32_MAX exactly. freq is bounded by the image's channel-sample count
+# h*w*bpp (one histogram increment per emitted channel symbol), and the
+# MXU one-hot original-frequency pre-pass is exact while counts < 2^24 —
+# so packed mode serves every image below 2^23 channel samples.
+PACKED_KEY_MAX_SAMPLES = 1 << 23
+
 
 def _to_stride8(a_t, w: int, bpp: int):
     """(W*bpp, B) -> (8W, B): pixel x's channels at rows [8x, 8x+bpp)."""
@@ -211,9 +219,7 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
     batching)."""
     h, wb, b = rows_t.shape
     w = wb // bpp
-    # packed-key selection is exact while freq*256 fits int32; freq is
-    # bounded by the image's channel-sample count
-    packed = h * w * bpp < (1 << 22)
+    packed = h * w * bpp < PACKED_KEY_MAX_SAMPLES
     # packed mode uses the modular 256-row table (strength-independent —
     # one compiled program serves every strength); the non-packed fallback
     # keeps the extended table
@@ -320,7 +326,8 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
     import os
     if os.environ.get("PNGLOSS_IMAGE_KERNEL", "1") == "0":
         return False
-    if not (use_row_filters and h >= 2 and h * w * bpp < (1 << 22)):
+    if not (use_row_filters and h >= 2
+            and h * w * bpp < PACKED_KEY_MAX_SAMPLES):
         return False
     from pngloss_tpu.ops.pallas_image import max_batch_image
 
@@ -450,7 +457,7 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
     if band_pad is None:
         s_max = int(np.max(strength)) if per_image else int(strength)
         band_pad = band_pad_for(s_max)
-    if rows.shape[1] * wb < (1 << 22):
+    if rows.shape[1] * wb < PACKED_KEY_MAX_SAMPLES:
         # packed mode uses the modular 256-row table: band_pad never
         # reaches the kernel, so normalize it out of the jit cache key —
         # ONE compiled program per shape serves every strength

@@ -70,3 +70,22 @@ def test_batch_matches_individual():
         qr, fr = ref.optimize_image(rows[i], 3, 19)
         np.testing.assert_array_equal(np.asarray(qb[i]), qr)
         np.testing.assert_array_equal(np.asarray(fb[i]), fr)
+
+
+def test_hist_dot_matches_scatter(monkeypatch):
+    """The MXU nibble-outer-product histogram (the TPU pre-pass path) must
+    equal the scatter-add path exactly — including ragged masks."""
+    import jax.numpy as jnp
+
+    from pngloss_tpu.ops.optimize import _original_frequencies
+
+    rng = np.random.default_rng(11)
+    orig = jnp.asarray(
+        rng.integers(0, 256, size=(37, 23, 3), dtype=np.uint8), jnp.int32)
+    for wr, hr in ((None, None), (jnp.int32(17), jnp.int32(29))):
+        monkeypatch.delenv("PNGLOSS_FORCE_HIST_DOT", raising=False)
+        h_scatter = np.asarray(_original_frequencies(orig, 3, wr, hr))
+        monkeypatch.setenv("PNGLOSS_FORCE_HIST_DOT", "1")
+        h_dot = np.asarray(_original_frequencies(orig, 3, wr, hr))
+        np.testing.assert_array_equal(h_dot, h_scatter)
+        assert h_scatter.sum() > 0
