@@ -32,24 +32,34 @@ LIBPNG_INIT_ERROR = 35
 TOO_LARGE_FILE = 98
 TOO_LOW_QUALITY = 99
 
+# user documentation wording follows the reference tool's help text
+# (PNGLOSS_USAGE, pngloss.c:28-51) so reference users see the interface
+# they know; only the header line and the TPU note differ
 USAGE = """\
-usage:  pngloss [options] [ -o output.png ] input.png
-        pngloss [options] [ --ext suffix.png ] input.png ...
-        pngloss [options] - < input.png > output.png
+usage:  pngloss [options] -- pngfile [pngfile ...]
+        pngloss [options] - >stdout <stdin
 
 options:
-  -s, --strength N   amount of quantization noise to add, 0-255 (default 19)
-  -b, --bleed N      divisor of error diffusion, 1-32767 (default 2)
-  -f, --force        overwrite existing output files
-      --no-force     do not overwrite existing output files
-      --ext new.png  set custom suffix/extension for output filenames
-  -o, --output file  destination file path (single input only)
-      --skip-if-larger  only save converted file if it is smaller than input
-      --strip        remove optional metadata (default on Mac)
-  -v, --verbose      print status messages
-  -q, --quiet        don't print status messages
-  -V, --version      print version number
-  -h, --help         display this help and exit
+  -s, --strength 19 how much quality to sacrifice, from 0 to 100 (default 19)
+  -b, --bleed 2     bleed divider, from 1 (full dithering) to 32767 (none)
+  -f, --force       overwrite existing output files
+  -o, --output file destination file path to use instead of --ext
+  -v, --verbose     print status messages
+  -q, --quiet       don't print status messages (default, overrides -v)
+  -V, --version     print version number
+  --skip-if-larger  only save converted files if they're smaller than original
+  --ext new.png     set custom suffix/extension for output filenames
+  --strip           remove optional metadata (default on Mac)
+
+Lossily compresses a PNG by using more compressible colors that are
+close enough to the original color values. The threshold determining
+what is close enough is controlled by the strength parameter. The output
+filename is the same as the input name except that it ends in "-loss.png"
+or your custom extension (unless the input is stdin, in which case the
+compressed image will go to stdout).  If you pass the special output path
+"-" and a single input file, that file will be processed and the
+compressed image will go to stdout. The default behavior if the output
+file exists is to skip the conversion; use --force to overwrite.
 """
 
 _LONG_OPTS = [
@@ -250,7 +260,11 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
         return MISSING_ARGUMENT
 
     if opts.print_help:
-        print(f"pngloss-tpu {__version__}")
+        # header shaped like the reference's (pngloss.c:55-70), with the
+        # platform notes it prints (SSE / color profiles) adapted honestly
+        print(f"pngloss-tpu {__version__}, a TPU-native rebuild of pngloss "
+              "by William MacKay, Kornel Lesinski.\n"
+              "   JAX/Pallas TPU acceleration enabled.")
         print(USAGE, end="")
         return SUCCESS
 
