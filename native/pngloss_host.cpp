@@ -245,7 +245,7 @@ int pl_decode(const uint8_t* data, size_t len, int strip,
               uint8_t** out_rgba, uint32_t* out_w, uint32_t* out_h,
               double* out_gamma, int* out_transform,
               uint8_t** out_chunks, size_t* out_chunks_len) {
-  if (len < 8 || std::memcmp(data, kSig, 8) != 0) return fail("bad PNG signature");
+  if (len < 8 || std::memcmp(data, kSig, 8) != 0) return fail("Not a PNG file");
 
   uint32_t width = 0, height = 0;
   int bit_depth = 0, color_type = -1, interlace = 0;

@@ -177,8 +177,14 @@ def _compress_one(
 
     try:
         img = codec.decode(data, strip=opts.strip)
-    except codec.PngDecodeError:
-        return None, None, READ_ERROR, None
+    except codec.PngDecodeError as e:
+        # rwpng_error_handler prints the libpng message (rwpng.c:652) and
+        # read_image adds the decode line (pngloss.c:453); exit code 25
+        print(f"  error: {e} (libpng failed)", file=sys.stderr)
+        print("  error: cannot decode image "
+              + ("from stdin" if opts.using_stdin
+                 else os.path.basename(verbose_name)), file=sys.stderr)
+        return None, None, LIBPNG_FATAL_ERROR, None
 
     if opts.verbose:
         print(f"  read {(len(data) + 500) // 1000}KB file", file=sys.stderr)
@@ -323,6 +329,9 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
             try:
                 data = stdin.read() if opts.using_stdin else open(filename, "rb").read()
             except OSError:
+                if not opts.using_stdin:
+                    print(f"  error: cannot open {filename} for reading",
+                          file=sys.stderr)
                 retval = READ_ERROR
                 data = None
             if retval == SUCCESS:
@@ -387,12 +396,17 @@ def _run_batched(opts, mesh=None) -> int:
             try:
                 data = open(filename, "rb").read()
             except OSError:
+                print(f"  error: cannot open {filename} for reading",
+                      file=sys.stderr)
                 retval = READ_ERROR
         if retval == SUCCESS:
             try:
                 img = codec.decode(data, strip=opts.strip)
-            except codec.PngDecodeError:
-                retval = READ_ERROR
+            except codec.PngDecodeError as e:
+                print(f"  error: {e} (libpng failed)", file=sys.stderr)
+                print(f"  error: cannot decode image "
+                      f"{os.path.basename(filename)}", file=sys.stderr)
+                retval = LIBPNG_FATAL_ERROR
         entries.append([filename, outname, retval, data, img])
 
     ok = [e for e in entries if e[2] == SUCCESS]

@@ -270,7 +270,7 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 def decode(data: bytes, strip: bool = False) -> DecodedImage:
     """Decode PNG bytes to a normalized 8-bit RGBA image (rwpng_read_image24)."""
     if not data.startswith(PNG_SIGNATURE):
-        raise PngDecodeError("bad PNG signature")
+        raise PngDecodeError("Not a PNG file")  # libpng's message text
 
     width = height = bit_depth = color_type = interlace = None
     palette: np.ndarray | None = None
@@ -381,7 +381,7 @@ def scanline_filters(data: bytes) -> np.ndarray:
     """Return the per-scanline filter ids of a non-interlaced PNG (inspection
     helper used by tests to compare filter decisions against the C tool)."""
     if not data.startswith(PNG_SIGNATURE):
-        raise PngDecodeError("bad PNG signature")
+        raise PngDecodeError("Not a PNG file")  # libpng's message text
     width = height = bit_depth = color_type = None
     idat = bytearray()
     for name, body in _iter_chunks(data):

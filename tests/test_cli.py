@@ -96,10 +96,17 @@ def test_error_exit_codes(tmp_path):
     assert rc == READ_ERROR
 
 
-def test_not_a_png_is_read_error(tmp_path):
+def test_not_a_png_is_libpng_fatal_error(tmp_path, capsys):
+    # the reference reports decode failures as LIBPNG_FATAL_ERROR (25) with
+    # the libpng message plus the cannot-decode line (pngloss.c:453)
+    from pngloss_tpu.cli import LIBPNG_FATAL_ERROR
+
     bad = tmp_path / "bad.png"
     bad.write_bytes(b"this is not a png")
-    assert _run_ours(["-f", str(bad)])[0] == READ_ERROR
+    assert _run_ours(["-f", str(bad)])[0] == LIBPNG_FATAL_ERROR
+    err = capsys.readouterr().err
+    assert "  error: Not a PNG file (libpng failed)" in err
+    assert "  error: cannot decode image bad.png" in err
 
 
 def test_multi_file_batched_mode(oracle, rose_bytes, tmp_path):
