@@ -71,7 +71,7 @@ def main() -> None:
         _ = [float(v) for v in vals]
         return time.time() - t0
 
-    trials = int(os.environ.get("PNGLOSS_BENCH_TRIALS", "5"))
+    trials = int(os.environ.get("PNGLOSS_BENCH_TRIALS", "7"))
     slopes = []
     for _ in range(trials):
         t1 = timed(1)
