@@ -125,23 +125,43 @@ def _original_frequencies(orig: jnp.ndarray, bpp: int,
     # Exact: weights/one-hots are 0/1 (exact in bf16), each product is
     # 0/1, and f32 accumulation of counts is exact below 2^24.
     n = orig.size
-    use_dot = ((jax.default_backend() == "tpu"
-                or os.environ.get("PNGLOSS_FORCE_HIST_DOT") == "1")
-               and n < (1 << 24))
+    force = os.environ.get("PNGLOSS_FORCE_HIST_DOT")  # 1=on, 0=off override
+    use_dot = ((jax.default_backend() == "tpu" or force == "1")
+               and force != "0" and n < (1 << 24))
     wvec = weight.ravel()
     syms = jnp.stack(
         [((orig - _predict5(above, diag, left, f)) & 0xFF).ravel()
          for f in range(NUM_FILTERS)], axis=-1)          # (n, 5)
     if use_dot:
+        # chunk the samples so the (chunk, 80) one-hot operands stay a few
+        # MB by construction — relying on XLA to fuse the generation into
+        # the dot worked in one surrounding program and OOM'd HBM in
+        # another (a (B, n, 80) int32 temporary under vmap). Partial
+        # (80, 80) sums are integer-valued f32; accumulating them stays
+        # exact while total counts are below 2^24.
         i16 = jnp.arange(16, dtype=syms.dtype)
-        a = ((syms[:, :, None] >> 4) == i16) * wvec[:, None, None]
-        bm = (syms[:, :, None] & 15) == i16
-        full = jnp.einsum(
-            "nk,nl->kl",
-            a.reshape(n, NUM_FILTERS * 16).astype(jnp.bfloat16),
-            bm.reshape(n, NUM_FILTERS * 16).astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        full = full.reshape(NUM_FILTERS, 16, NUM_FILTERS, 16)
+        ch = min(1 << 16, max(1, n))
+        n_pad = -(-n // ch) * ch
+        symsp = jnp.pad(syms, ((0, n_pad - n), (0, 0)))
+        wp = jnp.pad(wvec, (0, n_pad - n))  # padded samples weigh 0
+
+        def chunk_step(acc, xs):
+            s_c, w_c = xs
+            a = (((s_c[:, :, None] >> 4) == i16).astype(jnp.bfloat16)
+                 * w_c[:, None, None].astype(jnp.bfloat16))
+            bm = ((s_c[:, :, None] & 15) == i16).astype(jnp.bfloat16)
+            part = jnp.einsum(
+                "nk,nl->kl",
+                a.reshape(ch, NUM_FILTERS * 16),
+                bm.reshape(ch, NUM_FILTERS * 16),
+                preferred_element_type=jnp.float32)
+            return acc + part, None
+
+        full, _ = lax.scan(
+            chunk_step,
+            jnp.zeros((NUM_FILTERS * 16, NUM_FILTERS * 16), jnp.float32),
+            (symsp.reshape(-1, ch, NUM_FILTERS), wp.reshape(-1, ch)))
+        full = full.astype(jnp.int32).reshape(NUM_FILTERS, 16, NUM_FILTERS, 16)
         return jnp.stack(
             [full[f, :, f, :].reshape(256) for f in range(NUM_FILTERS)])
     return jnp.stack(
