@@ -77,3 +77,28 @@ def test_compiled_row_kernel_parity(oracle, suite_dir, monkeypatch):
     paths = [os.path.join(suite_dir, "rose.png")]
     results, summary = run_suite(paths, [19], oracle=oracle, verbose=False)
     assert summary["all_byte_identical"], results
+
+
+@requires_tpu
+def test_compiled_embedding_mode_parity(suite_dir):
+    """optimizeForAverageFilter (every row adaptive + per-row strength
+    fallback) COMPILED on chip vs the scalar parity anchor. The embedding
+    API has no CLI surface in the reference (pngloss_image.c:29), so the
+    oracle here is core.reference, itself byte-parity-anchored."""
+    _tpu_or_skip()
+    import numpy as np
+
+    from pngloss_tpu import codec
+    from pngloss_tpu.core import reference as ref
+    from pngloss_tpu.pipeline import optimize_for_average_filter
+
+    rose = codec.decode(
+        open(os.path.join(suite_dir, "rose.png"), "rb").read())
+    rgba = np.ascontiguousarray(rose.rgba[:24, :31])
+    got = optimize_for_average_filter(rgba, strength=19)
+    from pngloss_tpu.pipeline import reduce_colorspace, restore_colorspace
+
+    work, bpp = reduce_colorspace(rgba)
+    q_ref, _ = ref.optimize_image(work, bpp, 19, use_row_filters=False)
+    np.testing.assert_array_equal(
+        got, restore_colorspace(q_ref, bpp, rgba.shape[1]))
