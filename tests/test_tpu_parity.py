@@ -40,7 +40,7 @@ def test_compiled_image_kernel_parity(oracle, suite_dir):
     from pngloss_tpu.suite import run_suite
 
     paths = [os.path.join(suite_dir, n) for n in FILES]
-    results, summary = run_suite(paths, [0, 19, 40], oracle=oracle,
+    results, summary = run_suite(paths, [0, 19, 40, 200], oracle=oracle,
                                  verbose=False)
     bad = [r for r in results if not r.get("byte_identical")]
     assert summary["all_byte_identical"], bad
