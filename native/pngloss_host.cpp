@@ -259,12 +259,13 @@ int pl_decode(const uint8_t* data, size_t len, int strip,
   while (pos + 8 <= len) {
     uint32_t length = be32(data + pos);
     const uint8_t* namep = data + pos + 4;
-    if (pos + 12 + size_t(length) > len) return fail("truncated chunk");
+    // libpng-matching message texts (rwpng.c:80, png_chunk_error)
+    if (pos + 12 + size_t(length) > len) return fail("Read error");
     const uint8_t* body = data + pos + 8;
     uint32_t expect = be32(data + pos + 8 + length);
     uint32_t actual = crc32(crc32(0, namep, 4), body, length);
     char name[5] = {char(namep[0]), char(namep[1]), char(namep[2]), char(namep[3]), 0};
-    if (expect != actual) return fail(std::string("bad CRC in ") + name);
+    if (expect != actual) return fail(std::string(name) + ": CRC error");
     pos += 12 + length;
 
     if (std::memcmp(name, "IHDR", 4) == 0) {
@@ -306,7 +307,7 @@ int pl_decode(const uint8_t* data, size_t len, int strip,
       }
     }
   }
-  if (!seen_iend) return fail("missing IEND");
+  if (!seen_iend) return fail("Read error");
   if (!have_ihdr) return fail("missing IHDR");
   if (width == 0 || height == 0) return fail("zero-sized image");
   if (color_type < 0 || color_type > 6 || kChannels[color_type] == 0)
@@ -356,7 +357,7 @@ int pl_decode(const uint8_t* data, size_t len, int strip,
 
   if (interlace == 0) {
     if (!read_subimage(raw.data(), raw.size(), width, height, &samples))
-      return fail("IDAT too short");
+      return fail("Not enough image data");
   } else if (interlace == 1) {
     size_t off = 0;
     for (const auto& p : kAdam7) {
@@ -365,10 +366,10 @@ int pl_decode(const uint8_t* data, size_t len, int strip,
       if (w == 0 || h == 0) continue;
       size_t rowbytes = (size_t(w) * sample_bits + 7) / 8;
       size_t nbytes = size_t(h) * (rowbytes + 1);
-      if (off + nbytes > raw.size()) return fail("IDAT too short");
+      if (off + nbytes > raw.size()) return fail("Not enough image data");
       std::vector<int32_t> sub;
       if (!read_subimage(raw.data() + off, nbytes, w, h, &sub))
-        return fail("IDAT too short");
+        return fail("Not enough image data");
       off += nbytes;
       for (uint32_t y = 0; y < h; y++)
         for (uint32_t x = 0; x < w; x++)

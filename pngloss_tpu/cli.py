@@ -178,12 +178,7 @@ def _compress_one(
     try:
         img = codec.decode(data, strip=opts.strip)
     except codec.PngDecodeError as e:
-        # rwpng_error_handler prints the libpng message (rwpng.c:652) and
-        # read_image adds the decode line (pngloss.c:453); exit code 25
-        print(f"  error: {e} (libpng failed)", file=sys.stderr)
-        print("  error: cannot decode image "
-              + ("from stdin" if opts.using_stdin
-                 else os.path.basename(verbose_name)), file=sys.stderr)
+        _report_decode_error(e, verbose_name, opts.using_stdin)
         return None, None, LIBPNG_FATAL_ERROR, None
 
     if opts.verbose:
@@ -250,6 +245,31 @@ def _print_wrote(opts, out: bytes, data: bytes, img) -> None:
               file=sys.stderr)
 
 
+def _print_full_version(file) -> None:
+    """Header shaped like the reference's print_full_version
+    (pngloss.c:55-70), with its platform notes (SSE / color profiles)
+    adapted honestly. Printed before usage on -h, on missing arguments,
+    and (verbose-gated) on 'No input files specified.'"""
+    print(f"pngloss-tpu {__version__}, a TPU-native rebuild of pngloss "
+          "by William MacKay, Kornel Lesinski.\n"
+          "   JAX/Pallas TPU acceleration enabled.", file=file)
+
+
+def _report_cannot_open(filename: str) -> None:
+    """read_image's fopen failure line (pngloss.c:441)."""
+    print(f"  error: cannot open {filename} for reading", file=sys.stderr)
+
+
+def _report_decode_error(e: Exception, filename: str,
+                         using_stdin: bool = False) -> None:
+    """The libpng error-handler line (rwpng.c:652) followed by
+    read_image's cannot-decode line (pngloss.c:453)."""
+    print(f"  error: {e} (libpng failed)", file=sys.stderr)
+    print("  error: cannot decode image "
+          + ("from stdin" if using_stdin else os.path.basename(filename)),
+          file=sys.stderr)
+
+
 def run(argv: list[str], stdin: io.RawIOBase | None = None,
         stdout: io.RawIOBase | None = None, mesh=None) -> int:
     """main() (pngloss.c:94-163). Returns the process exit code."""
@@ -262,15 +282,12 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
         return SUCCESS
 
     if opts.missing_arguments:
+        _print_full_version(sys.stderr)
         print(USAGE, file=sys.stderr, end="")
         return MISSING_ARGUMENT
 
     if opts.print_help:
-        # header shaped like the reference's (pngloss.c:55-70), with the
-        # platform notes it prints (SSE / color profiles) adapted honestly
-        print(f"pngloss-tpu {__version__}, a TPU-native rebuild of pngloss "
-              "by William MacKay, Kornel Lesinski.\n"
-              "   JAX/Pallas TPU acceleration enabled.")
+        _print_full_version(sys.stdout)
         print(USAGE, end="")
         return SUCCESS
 
@@ -298,6 +315,8 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
         return INVALID_ARGUMENT
     if not opts.files and not opts.using_stdin:
         print("No input files specified.", file=sys.stderr)
+        if opts.verbose:
+            _print_full_version(sys.stderr)
         print(USAGE, file=sys.stderr, end="")
         return MISSING_ARGUMENT
 
@@ -330,8 +349,7 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
                 data = stdin.read() if opts.using_stdin else open(filename, "rb").read()
             except OSError:
                 if not opts.using_stdin:
-                    print(f"  error: cannot open {filename} for reading",
-                          file=sys.stderr)
+                    _report_cannot_open(filename)
                 retval = READ_ERROR
                 data = None
             if retval == SUCCESS:
@@ -396,16 +414,13 @@ def _run_batched(opts, mesh=None) -> int:
             try:
                 data = open(filename, "rb").read()
             except OSError:
-                print(f"  error: cannot open {filename} for reading",
-                      file=sys.stderr)
+                _report_cannot_open(filename)
                 retval = READ_ERROR
         if retval == SUCCESS:
             try:
                 img = codec.decode(data, strip=opts.strip)
             except codec.PngDecodeError as e:
-                print(f"  error: {e} (libpng failed)", file=sys.stderr)
-                print(f"  error: cannot decode image "
-                      f"{os.path.basename(filename)}", file=sys.stderr)
+                _report_decode_error(e, filename)
                 retval = LIBPNG_FATAL_ERROR
         entries.append([filename, outname, retval, data, img])
 

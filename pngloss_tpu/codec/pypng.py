@@ -118,17 +118,20 @@ def _iter_chunks(data: bytes):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         name = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise PngDecodeError("truncated chunk")
+        # error message texts follow libpng's so the CLI's stderr lines
+        # match the reference tool's (rwpng.c:80 "Read error",
+        # png_chunk_error's "<name>: CRC error")
+        if len(body) != length or pos + 12 + length > n:
+            raise PngDecodeError("Read error")
         expect = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         actual = zlib.crc32(name + body) & 0xFFFFFFFF
         if expect[0] != actual:
-            raise PngDecodeError(f"bad CRC in {name!r}")
+            raise PngDecodeError(f"{name.decode('latin-1')}: CRC error")
         yield name, body
         pos += 12 + length
         if name == b"IEND":
             return
-    raise PngDecodeError("missing IEND")
+    raise PngDecodeError("Read error")
 
 
 def _bits_to_samples(raw: np.ndarray, bit_depth: int, count: int) -> np.ndarray:
@@ -154,7 +157,7 @@ def _unfilter(raw: bytes, width: int, height: int, bpp_bytes: int, rowbytes: int
     stride = max(bpp_bytes, 1)
     raw_arr = np.frombuffer(raw, dtype=np.uint8)
     if len(raw_arr) < height * (rowbytes + 1):
-        raise PngDecodeError("IDAT too short")
+        raise PngDecodeError("Not enough image data")  # libpng's text
     rows = raw_arr[: height * (rowbytes + 1)].reshape(height, rowbytes + 1)
     prev = np.zeros(rowbytes, dtype=np.int32)
     for y in range(height):

@@ -28,7 +28,7 @@ def device_batch_quantum(h: int, w: int, bpp: int, band_pad: int,
     if _image_kernel_eligible(h, w, bpp, use_row_filters, band_pad):
         from pngloss_tpu.ops.pallas_image import max_batch_image
 
-        return max_batch_image(w, bpp, band_pad)
+        return max_batch_image(w, bpp, band_pad, h=h)
     return max_batch_for(w, bpp, band_pad)
 
 

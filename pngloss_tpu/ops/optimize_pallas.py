@@ -332,7 +332,7 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
     from pngloss_tpu.ops.pallas_image import max_batch_image
 
     # very wide rows can exceed the VMEM budget even at 128 lanes
-    return max_batch_image(w, bpp, band_pad) >= 1
+    return max_batch_image(w, bpp, band_pad, h=h) >= 1
 
 
 @functools.partial(jax.jit, static_argnames=("bpp", "band_pad", "interpret"))
@@ -490,7 +490,8 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
         return _run(rows, s_arr, w_real, h_real)
     if use_image:
         from pngloss_tpu.ops.pallas_image import max_batch_image
-        chunk = min(b, max_batch_image(wb // bpp, bpp, band_pad))
+        chunk = min(b, max_batch_image(wb // bpp, bpp, band_pad,
+                                       h=rows.shape[1]))
     else:
         chunk = min(b, max_batch_for(wb // bpp, bpp, band_pad))
     if b <= chunk:

@@ -371,20 +371,32 @@ def _rows_budget(w: int) -> int:
     return 8 * STRIDE * w + 3 * STRIDE * (w + 5) + 256
 
 
-def max_batch_image(w: int, bpp: int, band_pad: int = 0) -> int:
+def max_batch_image(w: int, bpp: int, band_pad: int = 0,
+                    h: int | None = None) -> int:
     """Batch size for the whole-image kernel, or 0 when no batch fits the
     VMEM budget (caller falls back to the per-row kernel). band_pad is
     accepted for API compatibility; the modular table is strength-free.
 
-    Footprint is driven by LANE-PADDED buffer widths (lanes round up to
-    128): bytes ~= 4 * lanes_pad * rows_budget + temporaries headroom.
+    VMEM footprint is driven by LANE-PADDED buffer widths (lanes round up
+    to 128): bytes ~= 4 * lanes_pad * rows_budget + temporaries headroom.
     The VPU saturates at ~128 lanes (measured: B=25/125 lanes 6.5 MP/s,
     B=51/256 lanes 6.0), so batches are capped at 25 — more lanes cost
-    linearly more time for no throughput."""
+    linearly more time for no throughput.
+
+    When h is given, the batch is also capped so the HBM-resident streamed
+    arrays (the stride-8 original rows in and quantized rows out, ~64*h*w
+    bytes per image, plus transpose copies) stay within a few GB: a bucket
+    of tall-narrow images passes the width-driven VMEM check but can
+    otherwise exhaust the 16 GB of HBM (e.g. 25 x 512x16000 gray ~ 13 GB
+    streamed)."""
     import os
 
     del band_pad
     cap = int(os.environ.get("PNGLOSS_IMAGE_BATCH_CAP", "25"))
+    if h is not None:
+        hbm_budget = int(os.environ.get("PNGLOSS_HBM_STREAM_MB", "4096")) << 20
+        per_image = 2 * h * STRIDE * w * 4   # orig in + qrows out, int32
+        cap = min(cap, max(1, hbm_budget // max(per_image, 1)))
     budget = vmem_limit_bytes() - (3 << 20)
     best = 0
     for b in range(1, cap + 1):
