@@ -208,15 +208,18 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                             band_pad: int, use_row_filters: bool = True,
                             interpret: bool = False,
                             return_carry: bool = False,
-                            ofreq_rows=None, w_real=None, h_real=None):
+                            ofreq_rows=None, ofreq=None,
+                            w_real=None, h_real=None):
     """Optimize a batch in transposed layout.
 
     rows_t: (H, W*bpp, B) int32. Returns (qrows_t (H, W*bpp, B) int32,
     filters (H, B) int8). ofreq_rows overrides the rows used for the
     original-frequency pre-pass (the pre-pass always covers the WHOLE
     image, optimize_state.c:66-83 — pass the full image when rows_t is a
-    slice of it). w_real/h_real: (B,) real sizes of padded planes (ragged
-    batching)."""
+    slice of it); ofreq passes the precomputed (B, 5, 256) histograms
+    directly so a caller that already built them (the image-kernel rank
+    tables) does not pay the pre-pass twice. w_real/h_real: (B,) real
+    sizes of padded planes (ragged batching)."""
     h, wb, b = rows_t.shape
     w = wb // bpp
     packed = h * w * bpp < PACKED_KEY_MAX_SAMPLES
@@ -228,7 +231,10 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
     # original-residual histograms (ranks thereof in packed mode),
     # extended-table, filter-major lanes — ALWAYS over the whole image
     src_rows = rows_t if ofreq_rows is None else ofreq_rows
-    if w_real is None:
+    if ofreq is not None:
+        if w_real is not None:
+            w_real = jnp.asarray(w_real, jnp.int32)
+    elif w_real is None:
         ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
             jnp.moveaxis(src_rows, 2, 0).reshape(
                 b, src_rows.shape[0], w, bpp))                 # (B, 5, 256)
@@ -364,11 +370,13 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
     strength = jnp.asarray(strength, jnp.int32)
     bleed = jnp.asarray(bleed, jnp.int32)
 
-    # row 0 through the per-row machinery (reusing its scan body)
+    # row 0 through the per-row machinery (reusing its scan body); the
+    # pre-pass histograms computed above for the rank tables are passed
+    # through so the program contains ONE pre-pass, not two
     q0, f0, carry = optimize_batch_pallas_t(
         rows_t[:1], strength, bleed, bpp=bpp, band_pad=band_pad,
         use_row_filters=True, interpret=interpret, return_carry=True,
-        ofreq_rows=rows_t, w_real=w_real, h_real=h_real)
+        ofreq=ofreq, w_real=w_real, h_real=h_real)
     qprev_t, oprev_t, e0, e1, hist = carry
 
     s_vec = jnp.broadcast_to(strength, (1, b)).astype(jnp.int32)
