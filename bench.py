@@ -57,8 +57,11 @@ def main() -> None:
         0, 256, (chunk_b, work.shape[0], 4 * bpp), np.uint8)
     chunk_mp = chunk_b * work.shape[0] * (work.shape[1] // bpp) / 1e6
 
+    from pngloss_tpu.ops.optimize import band_pad_for
+
     def once():
-        q, f = optimize_batch_auto(batch, strength, 2, bpp=bpp, band_pad=32)
+        q, f = optimize_batch_auto(batch, strength, 2, bpp=bpp,
+                                   band_pad=band_pad_for(strength))
         return jnp.sum(q.astype(jnp.int32)) + jnp.sum(f.astype(jnp.int32))
 
     t0 = time.time()

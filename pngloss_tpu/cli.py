@@ -182,22 +182,7 @@ def _compress_one(
         return None, None, LIBPNG_FATAL_ERROR, None
 
     if opts.verbose:
-        print(f"  read {(len(data) + 500) // 1000}KB file", file=sys.stderr)
-        # input-color report chain, pngloss.c:241-254
-        if img.icc_note == "iccp":
-            print("  used embedded ICC profile to transform image to sRGB"
-                  " colorspace", file=sys.stderr)
-        elif img.icc_note == "gama_chrm":
-            print("  used gAMA and cHRM chunks to transform image to sRGB"
-                  " colorspace", file=sys.stderr)
-        elif img.icc_note == "iccp_warn_gray":
-            print("  warning: ignored ICC profile in GRAY colorspace",
-                  file=sys.stderr)
-        elif img.color_transform == codec.pypng.COLOR_SRGB:
-            print("  passing sRGB tag from the input", file=sys.stderr)
-        elif img.gamma != 0.45455:
-            print(f"  converted image from gamma {1.0 / img.gamma:2.1f}"
-                  " to gamma 2.2", file=sys.stderr)
+        _report_input_color(img, len(data))
 
     q, filters = pipeline.optimize_rgba(
         img.rgba, opts.strength, opts.bleed_divider, mesh=mesh)
@@ -268,6 +253,28 @@ def _report_decode_error(e: Exception, filename: str,
     print("  error: cannot decode image "
           + ("from stdin" if using_stdin else os.path.basename(filename)),
           file=sys.stderr)
+
+
+def _report_input_color(img, data_len: int) -> None:
+    """Verbose read-size line plus the input-color report chain
+    (pngloss.c:238-254); shared by the sequential and batched modes."""
+    from pngloss_tpu import codec
+
+    print(f"  read {(data_len + 500) // 1000}KB file", file=sys.stderr)
+    if img.icc_note == "iccp":
+        print("  used embedded ICC profile to transform image to sRGB"
+              " colorspace", file=sys.stderr)
+    elif img.icc_note == "gama_chrm":
+        print("  used gAMA and cHRM chunks to transform image to sRGB"
+              " colorspace", file=sys.stderr)
+    elif img.icc_note == "iccp_warn_gray":
+        print("  warning: ignored ICC profile in GRAY colorspace",
+              file=sys.stderr)
+    elif img.color_transform == codec.pypng.COLOR_SRGB:
+        print("  passing sRGB tag from the input", file=sys.stderr)
+    elif img.gamma != 0.45455:
+        print(f"  converted image from gamma {1.0 / img.gamma:2.1f}"
+              " to gamma 2.2", file=sys.stderr)
 
 
 def run(argv: list[str], stdin: io.RawIOBase | None = None,
@@ -453,10 +460,7 @@ def _run_batched(opts, mesh=None) -> int:
         filename, outname, _, data, img = e
         if opts.verbose:
             print(f"{filename}:", file=sys.stderr)
-            print(f"  read {(len(data) + 500) // 1000}KB file", file=sys.stderr)
-            if img.gamma != 0.45455:
-                print(f"  converted image from gamma {1.0 / img.gamma:2.1f}"
-                      " to gamma 2.2", file=sys.stderr)
+            _report_input_color(img, len(data))
             print("  compression complete", file=sys.stderr)
             n = pipeline.unique_symbol_count(
                 qs[j], fs[j], bpp=pipeline.working_bpp(img.rgba))

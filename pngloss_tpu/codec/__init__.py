@@ -30,7 +30,16 @@ def decode(data: bytes, strip: bool = False) -> DecodedImage:
     from pngloss_tpu.codec import icc
 
     if icc.enabled():
-        img.icc_note = icc.apply(data, img)
+        try:
+            img.icc_note = icc.apply(data, img)
+        except Exception as e:
+            # a malformed profile/curve must not fail the decode — lcms in
+            # the reference likewise skips the transform when the profile
+            # cannot be opened (rwpng.c:315)
+            import sys
+
+            print(f"pngloss-tpu: ignoring unusable ICC data ({e})",
+                  file=sys.stderr)
     return img
 
 

@@ -107,6 +107,8 @@ def _parse_curve(tag: bytes):
         (count,) = struct.unpack(">I", tag[8:12])
         if count == 0:
             return lambda x: x
+        if len(tag) < 12 + 2 * count:
+            return None   # truncated table: unusable curve, skip transform
         if count == 1:
             (g,) = struct.unpack(">H", tag[12:14])
             gamma = g / 256.0
@@ -119,6 +121,8 @@ def _parse_curve(tag: bytes):
         (ftype,) = struct.unpack(">H", tag[8:10])
         p = [_s15f16(tag, 12 + 4 * i) for i in range(7)]
         g, a, b, c, d, e, f = (p + [0.0] * 7)[:7]
+        if ftype in (1, 2) and a == 0.0:
+            return None   # breakpoint -b/a undefined: unusable curve
         if ftype == 0:
             return lambda x: np.power(x, g)
         if ftype == 1:

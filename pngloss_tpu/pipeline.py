@@ -184,40 +184,20 @@ def pad_dim(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def _msad_choice_np(prev: np.ndarray, row: np.ndarray, bpp: int) -> int:
-    """The optimizer's all-five MSAD filter cascade
-    (adaptive_filter_for_rows, optimize_state.c:492-562) on host rows."""
-    row = row.astype(np.int32)
-    prev = prev.astype(np.int32)
-    left = np.zeros_like(row)
-    left[bpp:] = row[:-bpp]
-    diag = np.zeros_like(prev)
-    diag[bpp:] = prev[:-bpp]
-    p = prev - diag
-    pd = left - diag
-    paeth = np.where(
-        (np.abs(p) <= np.abs(pd)) & (np.abs(p) <= np.abs(p + pd)), left,
-        np.where(np.abs(pd) <= np.abs(p + pd), prev, diag))
-
-    def msad(v):
-        v = v & 0xFF
-        return int(np.where(v < 128, v, 256 - v).sum())
-
-    sums = [msad(row), msad(row - left), msad(row - prev),
-            msad(row - (left + prev) // 2), msad(row - paeth)]
-    return int(np.argmin(sums))
-
-
 def _warn_abort_fallbacks(qs, fs, bpp: int) -> None:
     """Where the C tool abort()s ("no good row" at strength 0,
     pngloss_image.c:268), the device paths emit the min-cost row instead —
     a documented byte-parity deviation in a case the reference considers
     impossible. Detect it post-hoc (cheap: row 0 is the only adaptive row
-    in CLI mode) so any real-world occurrence is visible."""
+    in CLI mode) so any real-world occurrence is visible. The MSAD check
+    is the parity-anchored scalar model's (one copy, not a re-derivation)."""
     import warnings
 
+    from pngloss_tpu.core.reference import adaptive_filter_for_row
+
     hit = sum(1 for q, f in zip(qs, fs)
-              if _msad_choice_np(np.zeros_like(q[0]), q[0], bpp) != int(f[0]))
+              if adaptive_filter_for_row(
+                  None, q[0], bpp, q.shape[1] // bpp) != int(f[0]))
     if hit:
         warnings.warn(
             f"pngloss divergence: {hit} image(s) had no adaptive-consistent "
@@ -252,6 +232,8 @@ def dispatch_buckets(works, bpps, strength, bleed: int = 2, *,
     if ragged is None:
         ragged = os.environ.get("PNGLOSS_RAGGED", "1") != "0"
     per_image = not np.isscalar(strength)
+    if per_image and len(strength) == 0:
+        return []  # nothing decodable: no buckets (np.max would raise)
     s_max = int(np.max(strength)) if per_image else int(strength)
     band_pad = band_pad_for(s_max)
     buckets: dict[tuple[int, int, int], list[int]] = {}
@@ -352,6 +334,7 @@ def optimize_rgba_batch(rgbas, strength=19, bleed: int = 2, *,
                               use_row_filters=use_row_filters, mesh=mesh,
                               impl=impl):
         qb, fb = collect_bucket(p)
+        p.q_dev = p.f_dev = None   # cap HBM high-water at one bucket
         for j, i in enumerate(p.idxs):
             q_out[i] = restore_colorspace(qb[j], p.bpp, rgbas[i].shape[1])
             f_out[i] = np.ascontiguousarray(fb[j])
@@ -477,6 +460,9 @@ def compress_many(files, strength: int = 19, bleed: int = 2, *,
         futs = []
         for p in pending:
             qb, fb = collect_bucket(p)
+            # drop the device buffers as soon as they are fetched so HBM
+            # high-water stays one bucket, not the whole corpus' outputs
+            p.q_dev = p.f_dev = None
             futs += [pool.submit(_encode, ok_idx[j], qb[k], fb[k])
                      for k, j in enumerate(p.idxs)]
         for fut in futs:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import binascii
 import hashlib
 import os
 import re
@@ -155,6 +156,7 @@ class Handler(BaseHTTPRequestHandler):
         self.send_error(code, msg)
 
     _example_cache: dict[str, bytes] = {}
+    _example_lock = threading.Lock()
     example_source = "/root/reference/suite/david.png"
 
     def _send(self, data: bytes, ctype: str) -> None:
@@ -183,15 +185,26 @@ class Handler(BaseHTTPRequestHandler):
             if not os.path.exists(self.example_source):
                 self._error(404, "example image unavailable")
                 return True
-            data = self._example_cache.get(name)
-            if data is None:
-                data = open(self.example_source, "rb").read()
-                if name != "david.png":
-                    from pngloss_tpu import pipeline
+            # the first compressed-example hit runs a real device
+            # compression: serialize generation (concurrent hits would
+            # duplicate the work) and count it against the image gate so
+            # it cannot starve the service
+            with self._example_lock:
+                data = self._example_cache.get(name)
+                if data is None:
+                    data = open(self.example_source, "rb").read()
+                    if name != "david.png":
+                        if not self._gates["image"].acquire(timeout=600):
+                            self._error(503, "busy")
+                            return True
+                        try:
+                            from pngloss_tpu import pipeline
 
-                    data = pipeline.compress_bytes(
-                        data, int(name[7:9]), 2)
-                self._example_cache[name] = data
+                            data = pipeline.compress_bytes(
+                                data, int(name[7:9]), 2)
+                        finally:
+                            self._gates["image"].release()
+                    self._example_cache[name] = data
             self._send(data, "image/png")
         else:
             return False
@@ -249,7 +262,10 @@ class Handler(BaseHTTPRequestHandler):
 
             file_data = fields.get("file")
             if not file_data and "sum224" in fields:
-                sum224 = base64.urlsafe_b64decode(fields["sum224"])
+                try:
+                    sum224 = base64.urlsafe_b64decode(fields["sum224"])
+                except (ValueError, binascii.Error):
+                    return self._error(400, "bad sum")
                 file_data = self.originals.load(sum224)
                 if file_data is None:
                     return self._error(404, "unknown sum224")

@@ -110,17 +110,11 @@ def test_mesh_quantum_chunks_buckets(monkeypatch):
     from pngloss_tpu import pipeline
     from pngloss_tpu import ops
 
-    monkeypatch.setattr(ops, "UNBOUNDED_BATCH", ops.UNBOUNDED_BATCH)
-    calls = []
-    real_quantum = ops.device_batch_quantum
-
     def fake_quantum(*a, **k):
         return 2                      # pretend VMEM fits 2 images per device
-    monkeypatch.setattr(pipeline, "device_batch_quantum", fake_quantum,
-                        raising=False)
-    # dispatch via the module-level import inside dispatch_buckets
-    import pngloss_tpu.ops as ops_mod
-    monkeypatch.setattr(ops_mod, "device_batch_quantum", fake_quantum)
+    # dispatch_buckets imports device_batch_quantum from pngloss_tpu.ops at
+    # call time, so patching the ops module attribute is what matters
+    monkeypatch.setattr(ops, "device_batch_quantum", fake_quantum)
 
     rng = np.random.default_rng(5)
     works = [rng.integers(0, 256, (8, 9 * 3), np.uint8) for _ in range(9)]
@@ -141,3 +135,13 @@ def test_image_batch_cap_env(monkeypatch):
     assert max_batch_image(512, 3, 0) == 7
     monkeypatch.delenv("PNGLOSS_IMAGE_BATCH_CAP")
     assert max_batch_image(512, 3, 0) == 25
+
+
+def test_compress_many_all_inputs_bad():
+    """Per-image strengths with every file undecodable: no device dispatch
+    should happen and each result must carry its error (the empty
+    per-image strength vector used to crash np.max in dispatch_buckets)."""
+    from pngloss_tpu.pipeline import compress_many
+
+    results = compress_many([b"junk", b"also junk"], strength=[19, 40])
+    assert all(r.error is not None and r.data is None for r in results)

@@ -75,6 +75,7 @@ def test_padded_embedding_mode():
                           w_real=[5], h_real=[4])
     qr, fr = ref.optimize_image(im, 3, 19, 2, use_row_filters=False)
     np.testing.assert_array_equal(np.asarray(q)[0, :4, :15], qr)
+    np.testing.assert_array_equal(np.asarray(f)[0, :4], fr)
 
 
 def test_mixed_sizes_share_one_bucket():
