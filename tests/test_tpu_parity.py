@@ -102,3 +102,22 @@ def test_compiled_embedding_mode_parity(suite_dir):
     q_ref, _ = ref.optimize_image(work, bpp, 19, use_row_filters=False)
     np.testing.assert_array_equal(
         got, restore_colorspace(q_ref, bpp, rgba.shape[1]))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PNGLOSS_TEST_TPU_FULL"),
+    reason="full-domain sweep: set PNGLOSS_TEST_TPU_FULL=1 (a few minutes)")
+def test_compiled_full_strength_domain(oracle, suite_dir):
+    """Every strength 0..255 on rose.png, compiled on chip, byte-identical
+    to the C tool (the modular table serves all strengths from the same
+    compiled programs, so this is one batched dispatch + 256 oracle runs)."""
+    _tpu_or_skip()
+    from pngloss_tpu.pipeline import compress_many
+    from tests.conftest import run_oracle
+
+    rose = open(os.path.join(suite_dir, "rose.png"), "rb").read()
+    strengths = list(range(256))
+    outs = compress_many([rose] * 256, strengths, 2)
+    bad = [s for s, r in zip(strengths, outs)
+           if r.unwrap() != run_oracle(oracle, rose, s)]
+    assert not bad, bad
