@@ -238,6 +238,26 @@ def _print_full_version(file) -> None:
     print(f"pngloss-tpu {__version__}, a TPU-native rebuild of pngloss "
           "by William MacKay, Kornel Lesinski.\n"
           "   JAX/Pallas TPU acceleration enabled.", file=file)
+    # dependency-version lines, the way rwpng_version_info chains
+    # libpng/zlib versions into the header (pngloss.c:77-83, rwpng.c:41)
+    import zlib
+
+    parts = [f"zlib {zlib.ZLIB_VERSION}"]
+    try:
+        import jax
+        import jaxlib
+
+        parts += [f"jax {jax.__version__}", f"jaxlib {jaxlib.__version__}"]
+        try:
+            import importlib.metadata
+
+            parts.append(
+                f"libtpu {importlib.metadata.version('libtpu')}")
+        except Exception:
+            pass
+    except Exception:
+        pass
+    print("   Using " + ", ".join(parts) + ".", file=file)
 
 
 def _report_cannot_open(filename: str) -> None:
@@ -364,6 +384,10 @@ def run(argv: list[str], stdin: io.RawIOBase | None = None,
                     data, opts, display, mesh=mesh)
                 if retval == SUCCESS:
                     if opts.using_stdout:
+                        if opts.verbose:
+                            # pngloss.c:389
+                            print("  writing compressed image to stdout",
+                                  file=sys.stderr)
                         stdout.write(out)
                     else:
                         if opts.verbose:

@@ -119,23 +119,32 @@ def _parse_curve(tag: bytes):
         return lambda x: np.interp(x, xs, lut)
     if sig == b"para":
         (ftype,) = struct.unpack(">H", tag[8:10])
-        p = [_s15f16(tag, 12 + 4 * i) for i in range(7)]
+        # Types 0-4 carry 1/3/4/5/7 params; real profiles are sized to
+        # exactly that, so read only what is present (ICC.1 table 68).
+        navail = max(0, min(7, (len(tag) - 12) // 4))
+        nneed = {0: 1, 1: 3, 2: 4, 3: 5, 4: 7}.get(ftype)
+        if nneed is None or navail < nneed:
+            return None
+        p = [_s15f16(tag, 12 + 4 * i) for i in range(navail)]
         g, a, b, c, d, e, f = (p + [0.0] * 7)[:7]
         if ftype in (1, 2) and a == 0.0:
             return None   # breakpoint -b/a undefined: unusable curve
+
+        def _pw(base, g=g):
+            # clamp: a malformed profile can select a negative power base
+            # (a*d+b < 0) whose NaN would otherwise reach the pixel cast
+            return np.power(np.maximum(base, 0.0), g)
+
         if ftype == 0:
-            return lambda x: np.power(x, g)
+            return lambda x: _pw(x)
         if ftype == 1:
-            return lambda x: np.where(x >= -b / a, np.power(a * x + b, g), 0.0)
+            return lambda x: np.where(x >= -b / a, _pw(a * x + b), 0.0)
         if ftype == 2:
-            return lambda x: np.where(
-                x >= -b / a, np.power(a * x + b, g) + c, c)
+            return lambda x: np.where(x >= -b / a, _pw(a * x + b) + c, c)
         if ftype == 3:
-            return lambda x: np.where(
-                x >= d, np.power(a * x + b, g), c * x)
+            return lambda x: np.where(x >= d, _pw(a * x + b), c * x)
         if ftype == 4:
-            return lambda x: np.where(
-                x >= d, np.power(a * x + b, g) + e, c * x + f)
+            return lambda x: np.where(x >= d, _pw(a * x + b) + e, c * x + f)
     return None
 
 

@@ -105,30 +105,25 @@ def unique_symbol_count(q_rgba: np.ndarray, row_filters: np.ndarray,
         work = pack_work(q_rgba, bpp)
     h, wb = work.shape
     rows = work.astype(np.int32)
+    # No sequential dependency: the predictor for row y only reads the
+    # (already known) quantized row y-1, so all five candidate predictor
+    # planes vectorize over the whole image and the winning one is a
+    # per-row fancy-index select.
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    left = np.zeros_like(rows)
+    left[:, bpp:] = rows[:, :-bpp]
+    diag = np.zeros_like(rows)
+    diag[1:, bpp:] = rows[:-1, :-bpp]
+    p = up - diag
+    pd = left - diag
+    paeth = np.where((np.abs(p) <= np.abs(pd)) & (np.abs(p) <= np.abs(p + pd)),
+                     left, np.where(np.abs(pd) <= np.abs(p + pd), up, diag))
+    preds = np.stack([np.zeros_like(rows), left, up,
+                      (left + up) // 2, paeth])
+    pred = preds[np.asarray(row_filters, np.intp), np.arange(h)]
     seen = np.zeros(256, bool)
-    prev = np.zeros(wb, np.int32)
-    for y in range(h):
-        cur = rows[y]
-        left = np.zeros(wb, np.int32)
-        left[bpp:] = cur[:-bpp]
-        diag = np.zeros(wb, np.int32)
-        diag[bpp:] = prev[:-bpp]
-        f = int(row_filters[y])
-        if f == 0:
-            pred = np.zeros(wb, np.int32)
-        elif f == 1:
-            pred = left
-        elif f == 2:
-            pred = prev
-        elif f == 3:
-            pred = (left + prev) // 2
-        else:
-            p = prev - diag
-            pd = left - diag
-            pred = np.where((np.abs(p) <= np.abs(pd)) & (np.abs(p) <= np.abs(p + pd)),
-                            left, np.where(np.abs(pd) <= np.abs(p + pd), prev, diag))
-        seen[(cur - pred) & 0xFF] = True
-        prev = cur
+    seen[(rows - pred) & 0xFF] = True
     return int(seen.sum())
 
 

@@ -111,6 +111,31 @@ class CompressedsInMemory:
         return data
 
 
+def _url_allowed(url: str) -> bool:
+    import urllib.parse
+
+    return urllib.parse.urlsplit(url).scheme.lower() in ("http", "https")
+
+
+def _http_opener():
+    """An opener that can ONLY speak http/https — no FileHandler /
+    FTPHandler / DataHandler, so a redirect cannot smuggle a file:// or
+    data: target past the scheme check — with the redirect chain capped."""
+    import urllib.request
+
+    class _Redirects(urllib.request.HTTPRedirectHandler):
+        max_redirections = 3
+
+    opener = urllib.request.OpenerDirector()
+    for handler in (urllib.request.HTTPHandler(),
+                    urllib.request.HTTPSHandler(),
+                    urllib.request.HTTPDefaultErrorHandler(),
+                    _Redirects(),
+                    urllib.request.HTTPErrorProcessor()):
+        opener.add_handler(handler)
+    return opener
+
+
 def png_dimensions(data: bytes) -> tuple[int, int]:
     if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR":
         raise ValueError("not a PNG")
@@ -188,7 +213,12 @@ class Handler(BaseHTTPRequestHandler):
             # the first compressed-example hit runs a real device
             # compression: serialize generation (concurrent hits would
             # duplicate the work) and count it against the image gate so
-            # it cannot starve the service
+            # it cannot starve the service. Cached hits skip the lock so
+            # they never queue behind a slow generation.
+            data = self._example_cache.get(name)
+            if data is not None:
+                self._send(data, "image/png")
+                return True
             with self._example_lock:
                 data = self._example_cache.get(name)
                 if data is None:
@@ -270,10 +300,17 @@ class Handler(BaseHTTPRequestHandler):
                 if file_data is None:
                     return self._error(404, "unknown sum224")
             elif not file_data and "url" in fields:
-                import urllib.request
                 try:
-                    with urllib.request.urlopen(
-                            fields["url"].decode(), timeout=10) as r:
+                    url = fields["url"].decode()
+                except UnicodeDecodeError:
+                    return self._error(400, "bad url")
+                # http/https only, like the reference's Go client.Get
+                # (pnglossapi.go:189) — urlopen would happily serve
+                # file:///etc/... or internal ftp otherwise
+                if not _url_allowed(url):
+                    return self._error(400, "bad url scheme")
+                try:
+                    with _http_opener().open(url, timeout=10) as r:
                         file_data = r.read(MAX_FIELD_LENGTHS["file"] + 1)
                 except Exception:
                     return self._error(502, "fetch failed")

@@ -123,3 +123,21 @@ def test_multi_file_batched_mode(oracle, rose_bytes, tmp_path):
     rc, _ = _run_ours(["-s", "19", str(tmp_path / "a.png"),
                        str(tmp_path / "missing.png")])
     assert rc == NOT_OVERWRITING_ERROR or rc == READ_ERROR
+
+
+def test_verbose_stderr_parity(oracle, rose_bytes, capsys):
+    """Full -v stderr matches the C tool line for line, spinner aside
+    (pngloss.c:238-254, pngloss_image.c:310-325). Pins the vectorized
+    unique_symbol_count and the 'writing compressed image' line."""
+    rc, _ = _run_ours(["-fv", "-s", "19", "-b", "2", "-"], rose_bytes)
+    assert rc == SUCCESS
+    ours = [ln for ln in capsys.readouterr().err.splitlines()
+            if "pngloss-tpu" not in ln]    # version header lines, ours only
+    ref = subprocess.run([oracle, "-fv", "-s", "19", "-b", "2", "-"],
+                         input=rose_bytes, capture_output=True)
+    theirs = []
+    for ln in ref.stderr.decode().splitlines():
+        # the per-row spinner redraws in place with ESC[\x01G
+        # (pngloss_image.c:214-237); keep only the final segment
+        theirs.append(ln.rsplit("\x1b[\x01G", 1)[-1])
+    assert ours == theirs

@@ -6,6 +6,7 @@ parameters, and requires byte-identical output.
 """
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -31,6 +32,29 @@ def _random_rgba(rng):
     if kind in ("gray_alpha", "rgba") and rng.random() < 0.5:
         rgba[:: 2, :, 3] = 0  # exercise the transparent-pixel rule
     return rgba
+
+
+@pytest.mark.skipif(
+    os.environ.get("PNGLOSS_TEST_FUZZ_FULL") != "1",
+    reason="set PNGLOSS_TEST_FUZZ_FULL=1 for the full randomized fuzz loop")
+def test_fuzz_loop_full_domain(oracle, tmp_path):
+    """The committed form of BASELINE.md's overnight fuzz evidence:
+    tools/fuzz_loop.py over randomized 1-128px images, all colorspaces,
+    the full 0-255 strength domain, subprocess-cycled workers. Scale with
+    PNGLOSS_FUZZ_CASES (default 512; the overnight run used ~12,500)."""
+    import subprocess
+    import sys
+
+    cases = int(os.environ.get("PNGLOSS_FUZZ_CASES", "512"))
+    out = tmp_path / "fuzz.jsonl"
+    r = subprocess.run(
+        [sys.executable, "tools/fuzz_loop.py", "--total", str(cases),
+         "--out", str(out), "--oracle", oracle, "--seed", "7000"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    lines = out.read_text().splitlines()
+    assert r.returncode == 0
+    assert len(lines) >= cases
+    assert all('"byte_identical": true' in ln for ln in lines)
 
 
 @pytest.mark.parametrize("seed", range(12))

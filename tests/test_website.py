@@ -116,6 +116,19 @@ def test_post_rejects_out_of_range_params(server):
         assert e.value.code == 400
 
 
+def test_url_field_rejects_non_http_schemes(server):
+    # file:// (or ftp/data) through the url field would read local files
+    # and re-serve them; the reference's Go client.Get is http/https-only
+    # (pnglossapi.go:189) and so are we
+    for url in (b"file:///root/reference/suite/rose.png",
+                b"ftp://127.0.0.1/rose.png",
+                b"data:image/png;base64,AAAA"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_multipart(f"{server}/compress.cgi", {
+                "url": url, "strength": b"19", "bleed": b"2", "strip": b"0"})
+        assert e.value.code == 400, url
+
+
 def test_rejects_bad_inputs(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post_multipart(f"{server}/compress.cgi", {
