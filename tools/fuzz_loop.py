@@ -1,0 +1,195 @@
+"""Randomized byte-parity fuzz loop vs the compiled C tool.
+
+This is the committed form of the overnight evidence generator behind
+BASELINE.md's fuzz row (~12.5k randomized cases, 0 mismatches): random
+image sizes (1..--max-px per side), all colorspace kinds (gray,
+gray+alpha, RGB, RGBA, flat, noisy, with transparent-pixel stripes),
+per-image strengths over the FULL 0-255 domain and random bleeds per
+batch, pushed through the production batched pipeline (ragged bucketing
+included) and byte-compared case by case against the reference binary.
+Reference counterpart: suite/run_suite.sh (the reference's only committed
+evidence generator).
+
+Architecture: a driver process spawns short-lived WORKER subprocesses
+(~--cycle-cases cases each). Long-lived CPU-JAX processes that compile
+many programs die with "LLVM compilation error: Cannot allocate memory"
+despite free RAM (working notes), so the loop cycles workers instead of
+threading one process through the night.
+
+Usage:
+  python tools/fuzz_loop.py --total 2000 --out /tmp/fuzz.jsonl
+  python tools/fuzz_loop.py --duration 28800 --out /tmp/fuzz_overnight.jsonl
+  # repro one batch: python tools/fuzz_loop.py --worker --seed 4217 --cases 64
+
+Every case appends one JSONL record; mismatching inputs are written next
+to the JSONL as <out>.case<N>.png for direct repro with the CLI + oracle.
+Exit code 0 iff every case was byte-identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_ORACLE = "/tmp/pngloss_oracle/pngloss"
+
+
+def build_oracle(path: str = DEFAULT_ORACLE) -> str:
+    """Compile the reference C tool if it is not already present."""
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        import glob
+
+        subprocess.run(
+            ["gcc", "-O2", "-o", path,
+             *glob.glob("/root/reference/src/*.c"), "-lpng", "-lz", "-lm"],
+            check=True)
+    return path
+
+
+def random_case(rng):
+    """One random RGBA image + parameters. Mirrors the CI fuzz slice
+    (tests/test_fuzz_oracle.py) but over the full size/strength domain."""
+    import numpy as np
+
+    max_px = int(os.environ.get("PNGLOSS_FUZZ_MAX_PX", "128"))
+    kind = rng.choice(["gray", "gray_alpha", "rgb", "rgba", "flat", "noisy"])
+    h = int(rng.integers(1, max_px + 1))
+    w = int(rng.integers(1, max_px + 1))
+    if kind == "flat":
+        rgba = np.full((h, w, 4), int(rng.integers(0, 256)), np.uint8)
+        rgba[:, :, 3] = 255
+    else:
+        rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+        if kind in ("gray", "gray_alpha"):
+            rgba[:, :, 0] = rgba[:, :, 2] = rgba[:, :, 1]
+        if kind in ("gray", "rgb", "noisy"):
+            rgba[:, :, 3] = 255
+        if kind in ("gray_alpha", "rgba") and rng.random() < 0.5:
+            rgba[::2, :, 3] = 0   # exercise the transparent-pixel rule
+    strength = int(rng.integers(0, 256))      # FULL strength domain
+    return kind, rgba, strength
+
+
+def run_worker(seed: int, cases: int, out_path: str | None,
+               oracle: str) -> int:
+    """Run `cases` randomized cases as ONE ragged mixed-strength batch
+    through compress_many; oracle-compare each. Returns mismatch count."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from pngloss_tpu.codec import encode
+    from pngloss_tpu.pipeline import compress_many
+
+    rng = np.random.default_rng(seed)
+    bleed = int(rng.choice([1, 2, 3, 5, 17, 255, 32767]))
+    metas, pngs, strengths = [], [], []
+    for _ in range(cases):
+        kind, rgba, strength = random_case(rng)
+        metas.append((kind, rgba.shape[0], rgba.shape[1]))
+        pngs.append(encode(rgba, row_filters=None))
+        strengths.append(strength)
+
+    results = compress_many(pngs, strengths, bleed)
+
+    mismatches = 0
+    recs = []
+    for i, (res, png) in enumerate(zip(results, pngs)):
+        ref = subprocess.run(
+            [oracle, "-f", "-s", str(strengths[i]), "-b", str(bleed), "-"],
+            input=png, capture_output=True).stdout
+        ok = res.error is None and res.data == ref
+        kind, h, w = metas[i]
+        rec = {"seed": seed, "case": i, "kind": kind, "h": h, "w": w,
+               "strength": strengths[i], "bleed": bleed,
+               "byte_identical": bool(ok)}
+        if not ok:
+            mismatches += 1
+            rec["error"] = repr(res.error) if res.error else None
+            if out_path:
+                bad = f"{out_path}.seed{seed}case{i}.png"
+                with open(bad, "wb") as f:
+                    f.write(png)
+                rec["input_saved"] = bad
+        recs.append(rec)
+    if out_path:
+        with open(out_path, "a") as f:
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
+    else:
+        for rec in recs:
+            print(json.dumps(rec))
+    return mismatches
+
+
+def run_driver(args) -> int:
+    oracle = build_oracle(args.oracle)
+    total = done = mismatches = 0
+    t0 = time.time()
+    seed = args.seed
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    while True:
+        if args.total and done >= args.total:
+            break
+        if args.duration and time.time() - t0 >= args.duration:
+            break
+        cases = min(args.cycle_cases,
+                    (args.total - done) if args.total else args.cycle_cases)
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--seed", str(seed), "--cases", str(cases),
+               "--oracle", oracle]
+        if args.out:
+            cmd += ["--out", args.out]
+        r = subprocess.run(cmd, env=env)
+        if r.returncode < 0:
+            print(f"fuzz worker seed={seed} killed by signal "
+                  f"{-r.returncode}", file=sys.stderr)
+            return 2
+        mismatches += r.returncode
+        done += cases
+        total += cases
+        seed += 1
+        rate = done / max(time.time() - t0, 1e-9)
+        print(f"fuzz: {done} cases, {mismatches} mismatches, "
+              f"{rate:.1f} cases/s", file=sys.stderr)
+    print(f"fuzz DONE: {total} cases, {mismatches} mismatches",
+          file=sys.stderr)
+    return 1 if mismatches else 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--worker", action="store_true",
+                    help="internal: run one worker cycle in-process")
+    ap.add_argument("--seed", type=int, default=int(time.time()) % 100000)
+    ap.add_argument("--cases", type=int, default=64,
+                    help="worker mode: cases in this batch")
+    ap.add_argument("--total", type=int, default=0,
+                    help="driver: stop after N cases (0 = duration-bound)")
+    ap.add_argument("--duration", type=float, default=0,
+                    help="driver: stop after S seconds")
+    ap.add_argument("--cycle-cases", type=int, default=256,
+                    help="driver: cases per worker subprocess (workers are "
+                         "cycled to dodge the CPU-JAX LLVM OOM)")
+    ap.add_argument("--out", default=None, help="JSONL output path")
+    ap.add_argument("--oracle", default=DEFAULT_ORACLE)
+    args = ap.parse_args()
+    if not args.worker and not args.total and not args.duration:
+        args.total = 1024
+    if args.worker:
+        sys.path.insert(0, REPO)
+        sys.exit(min(run_worker(args.seed, args.cases, args.out,
+                                build_oracle(args.oracle)), 120))
+    sys.exit(run_driver(args))
+
+
+if __name__ == "__main__":
+    main()
