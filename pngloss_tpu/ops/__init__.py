@@ -50,13 +50,16 @@ def optimize_batch_auto(rows, strength, bleed: int = 2, *, bpp: int,
                         use_row_filters: bool = True, impl: str = "auto",
                         band_pad: int | None = None,
                         interpret: bool | None = None,
-                        w_real=None, h_real=None):
+                        w_real=None, h_real=None,
+                        wmax: int | None = None):
     """Dispatch to the Pallas kernel on TPU, the pure-XLA path elsewhere.
 
     impl: 'auto' | 'pallas' | 'xla'. strength: int or per-image values.
     interpret forces the Pallas interpreter (needed when the computation
     is placed on CPU devices while the default backend is a TPU).
     w_real/h_real: per-image real sizes of padded planes (ragged batching).
+    wmax: rotated-window class for the image kernel (Pallas path only;
+    None = derive from strength when host-known).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -64,7 +67,7 @@ def optimize_batch_auto(rows, strength, bleed: int = 2, *, bpp: int,
         return optimize_batch_pallas(
             rows, strength, bleed, bpp=bpp, use_row_filters=use_row_filters,
             band_pad=band_pad, interpret=interpret,
-            w_real=w_real, h_real=h_real)
+            w_real=w_real, h_real=h_real, wmax=wmax)
     return optimize_batch(
         rows, strength, bleed, bpp=bpp, use_row_filters=use_row_filters,
         band_pad=band_pad, w_real=w_real, h_real=h_real)

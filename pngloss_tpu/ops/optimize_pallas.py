@@ -341,10 +341,25 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
     return max_batch_image(w, bpp, band_pad, h=h) >= 1
 
 
-@functools.partial(jax.jit, static_argnames=("bpp", "band_pad", "interpret"))
+WMAX_CLASSES = (31, 63)
+
+
+def wmax_class_for(s_max: int) -> int:
+    """Rotated-window size class for a batch whose strengths are all
+    <= s_max, or 0 for the dense 256-row selection. Classes are coarse so
+    the per-(shape, class) compile cache stays small; beyond 63 the
+    rotation's dense stages cost more than the smaller sweeps save."""
+    for c in WMAX_CLASSES:
+        if s_max <= c:
+            return c
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bpp", "band_pad", "interpret", "wmax"))
 def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
                                      h_real=None, *, bpp, band_pad,
-                                     interpret):
+                                     interpret, wmax=0):
     """Row 0 via the per-row path (adaptive check + fallback), rows 1..H-1
     in ONE whole-image kernel launch (pallas_image.py)."""
     from pngloss_tpu.ops.pallas_image import image_rows_pallas
@@ -391,7 +406,8 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
         _tile5(_to_stride8(qprev_t, w, bpp)),
         _tile5(_to_stride8(oprev_t, w, bpp)),
         _tile5(e0), _tile5(e1), _tile5(hist),
-        w=w, h=h, bpp=bpp, b=b, table=table, interpret=interpret)
+        w=w, h=h, bpp=bpp, b=b, table=table, interpret=interpret,
+        wmax=wmax)
 
     q_rest = qrows.reshape(h - 1, w, STRIDE, b)[:, :, :bpp]
     q_rest = q_rest.reshape(h - 1, wb, b)
@@ -439,7 +455,8 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
                           use_row_filters: bool = True,
                           interpret: bool | None = None,
                           band_pad: int | None = None,
-                          w_real=None, h_real=None):
+                          w_real=None, h_real=None,
+                          wmax: int | None = None):
     """Pallas-kernel counterpart of optimize.optimize_batch.
 
     rows: (B, H, W*bpp) uint8. strength: int or per-image (B,) values.
@@ -455,6 +472,22 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, _, wb = rows.shape
+    # _tdiv_pos exactness guard (pallas_row.py): at bleed == 1 the dither
+    # error can grow ~255 per dependency hop, and past ~2^20 the kernels'
+    # reciprocal-multiply division loses bit-exactness. Route that (rare,
+    # pathological: >4k-row images at -b 1) regime to the pure-XLA path,
+    # whose native integer division is exact for all int32. Hop count =
+    # rows + intra-row chain (one hop per 3 columns).
+    hops = rows.shape[1] + wb // bpp // 3
+    if (hops > 4000
+            and not isinstance(rows, jax.core.Tracer)
+            and not isinstance(bleed, jax.core.Tracer)
+            and int(bleed) == 1):
+        from pngloss_tpu.ops.optimize import optimize_batch
+
+        return optimize_batch(
+            rows, strength, bleed, bpp=bpp, use_row_filters=use_row_filters,
+            band_pad=band_pad, w_real=w_real, h_real=h_real)
     # strength may be a scalar or per-image array (the kernel's band math is
     # per-lane, so mixed strengths batch together — the reference suite's
     # 1,089 sequential invocations become a handful of dispatches)
@@ -482,12 +515,19 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
                   else jnp.asarray(h_real, jnp.int32))
     use_image = _image_kernel_eligible(rows.shape[1], wb // bpp, bpp,
                                        use_row_filters, band_pad)
+    if wmax is None:
+        # rotated-window class from the batch's max strength (host-known
+        # unless we are inside an outer trace, where the caller must pass
+        # wmax explicitly to opt in — dense is always correct)
+        wmax = (0 if isinstance(strength, jax.core.Tracer)
+                else wmax_class_for(int(np.max(strength))))
 
     def _run(part, s_part, wr=None, hr=None):
         if use_image:
             return _optimize_batch_pallas_image_jit(
                 part, s_part, jnp.int32(bleed), wr, hr,
-                bpp=bpp, band_pad=band_pad, interpret=interpret)
+                bpp=bpp, band_pad=band_pad, interpret=interpret,
+                wmax=wmax)
         return _optimize_batch_pallas_jit(
             part, s_part, jnp.int32(bleed), wr, hr,
             bpp=bpp, band_pad=band_pad,

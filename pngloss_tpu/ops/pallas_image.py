@@ -57,6 +57,45 @@ def _roll_bcast(x, b: int):
     return out
 
 
+def _rot_rows(wmax: int) -> int:
+    """Rows of the rotated window table for a max band width wmax: valid
+    rows [0, wmax] must survive the three sub-vreg roll stages (which
+    consume up to 4+2+1 rows of tail validity), 8-aligned."""
+    return -(-(wmax + 9) // 8) * 8
+
+
+def _rotated_window(hist, start, wmax: int):
+    """Per-lane barrel rotation: returns a (_rot_rows(wmax), L) table whose
+    row u holds hist[(start + u) & 0xFF] (valid for u <= wmax).
+
+    The VPU has no per-lane dynamic gather, so the banded symbol window
+    cannot be sliced out of the 256-row table directly — but a rotation by
+    a per-lane amount decomposes into 8 CONDITIONAL static shifts (one per
+    bit of `start`), and after the bit-7 stage the remaining rotation is
+    bounded, so each later stage operates on a progressively TRUNCATED
+    array: 256 -> 120+n3 -> 56+n3 -> 24+n3 -> 8+n3 -> n3 rows (n3 ~ wmax+9).
+    Stages for bits >= 3 are 8-aligned static slices (free) + one select;
+    bits 2..0 are static sub-vreg rolls + selects on the final small array.
+    Total sweep work is ~(wmax+9)/256 of the dense path's for the
+    selection reductions, plus the ~4 dense-row-equivalents paid here."""
+    n3 = _rot_rows(wmax)
+    n4, n5, n6, n7 = n3 + 8, n3 + 24, n3 + 56, n3 + 120
+
+    def bit(k):
+        return (start >> k) & 1
+
+    x = jnp.where(bit(7) > 0, pltpu.roll(hist, 256 - 128, axis=0), hist)[:n7]
+    x = jnp.where(bit(6) > 0, x[64:64 + n6], x[:n6])
+    x = jnp.where(bit(5) > 0, x[32:32 + n5], x[:n5])
+    x = jnp.where(bit(4) > 0, x[16:16 + n4], x[:n4])
+    x = jnp.where(bit(3) > 0, x[8:8 + n3], x[:n3])
+    for k in (2, 1, 0):
+        # circular roll: rows wrapped from the top are garbage, but they
+        # land at indices > wmax, which the width mask never selects
+        x = jnp.where(bit(k) > 0, pltpu.roll(x, n3 - (1 << k), axis=0), x)
+    return x
+
+
 def _bitlength(n):
     """bitlength(n) for int32 0 < n < 2^24 via the f32 exponent field
     (exact: the conversion is exact below 2^24). Returns garbage for n<=0 —
@@ -71,7 +110,7 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                   qrow_out_ref, filt_out_ref,
                   err0_s, e0n_s, e1n_s, hist_s, qprev_s, oprev_s,
                   orig_s, qrow_s, dma_sem,
-                  *, w: int, bpp: int, b: int, table: int):
+                  *, w: int, bpp: int, b: int, table: int, wmax: int = 0):
     """Grid over y = 1..H-1 (program_id 0 = y-1). Shapes (L = 5B lanes):
       s_ref       (1, L)        per-lane strength
       bleed_ref   (1, 1)        SMEM
@@ -190,14 +229,28 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
             # the band, min-u is the C scan-order tie-break
             start = mn & 0xFF
             hist = hist_s[:, :]
-            u = (iota_t - start) & 0xFF
             width = mx - mn
             u_orig = osym - mn
-            masked = jnp.where(u <= width, hist, -1)
-            kmax = jnp.max(masked, axis=0, keepdims=True)
-            u_adj = jnp.where(u == u_orig, -1, u)
-            sel = jnp.min(jnp.where(masked == kmax, u_adj, 256),
-                          axis=0, keepdims=True)
+            if wmax:
+                # small-strength fast path: barrel-rotate the window to
+                # rows [0, width] so the selection reductions sweep
+                # ~(wmax+9) rows instead of 256 (width <= strength <= wmax,
+                # guaranteed by the caller's class choice)
+                rot = _rotated_window(hist, start, wmax)
+                iota_w = lax.broadcasted_iota(
+                    jnp.int32, (rot.shape[0], 1), 0)
+                masked = jnp.where(iota_w <= width, rot, -1)
+                kmax = jnp.max(masked, axis=0, keepdims=True)
+                u_adj = jnp.where(iota_w == u_orig, -1, iota_w)
+                sel = jnp.min(jnp.where(masked == kmax, u_adj, 256),
+                              axis=0, keepdims=True)
+            else:
+                u = (iota_t - start) & 0xFF
+                masked = jnp.where(u <= width, hist, -1)
+                kmax = jnp.max(masked, axis=0, keepdims=True)
+                u_adj = jnp.where(u == u_orig, -1, u)
+                sel = jnp.min(jnp.where(masked == kmax, u_adj, 256),
+                              axis=0, keepdims=True)
             u_best = jnp.where(sel < 0, u_orig, sel)
             sym_byte = (start + u_best) & 0xFF
             back_c = u_best + mn + predw
@@ -407,14 +460,16 @@ def max_batch_image(w: int, bpp: int, band_pad: int = 0,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w", "h", "bpp", "b", "table", "interpret"))
+    "w", "h", "bpp", "b", "table", "interpret", "wmax"))
 def image_rows_pallas(s5, bleed, wr5, rank5, orig_rows, qprev0, oprev0, e00,
                       e10, hist0, *, w: int, h: int, bpp: int, b: int,
-                      table: int, interpret: bool = False):
+                      table: int, interpret: bool = False, wmax: int = 0):
     """Run rows 1..H-1 in one kernel. orig_rows: (H-1, 8W, B) un-tiled
     original rows 1..H-1 (the kernel replicates to L lanes itself); the
     row-0 winner state seeds the scratch. wr5: (1, L) per-lane real widths
-    (ragged batching). Returns (qrows (H-1, 8W, B) winner rows,
+    (ragged batching). wmax: 0 = dense 256-row selection; a positive value
+    compiles the rotated-window fast path (every lane's strength must be
+    <= wmax). Returns (qrows (H-1, 8W, B) winner rows,
     filters (H-1, 1, B))."""
     l5 = NUM_FILTERS * b
     rows_px = STRIDE * w
@@ -428,7 +483,7 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig_rows, qprev0, oprev0, e00,
         jax.ShapeDtypeStruct((n, 1, b), jnp.int32),
     )
     kernel = functools.partial(
-        _image_kernel, w=w, bpp=bpp, b=b, table=table)
+        _image_kernel, w=w, bpp=bpp, b=b, table=table, wmax=wmax)
     vmem_bytes = vmem_limit_bytes()
     return pl.pallas_call(
         kernel,

@@ -47,7 +47,27 @@ STRIDE = 8  # sublane stride per pixel/column (alignment unit)
 
 def _tdiv_pos(u, div):
     """floor(u / div) for int32 u >= 0 and runtime int32 div > 0, via f32
-    reciprocal multiply + two integer corrections (exact for u < 2^20)."""
+    reciprocal multiply + two integer corrections.
+
+    Exactness domain: u < 2^20, with margin. The raw estimate is
+    q0 = trunc(f32(u) * f32(1/div)); with IEEE round-to-nearest the
+    reciprocal and the product carry <= 2^-24 relative error each, so the
+    quotient error is <= (u/div)*2^-23 + 1 units, and each correction
+    step repairs one unit — two corrections are exact while
+    (u/div)*2^-23 < 2, i.e. u < 2^24 under IEEE semantics
+    (tests/test_pallas_kernel.py sweeps the boundary). The TPU VPU's f32
+    reciprocal is an approximation instruction not guaranteed correctly
+    rounded, so only u < 2^20 is claimed (16x margin even if the hardware
+    reciprocal loses 4 bits vs IEEE; on-chip byte-parity suites pin it).
+
+    Callers keep operands inside the domain: every operand is bounded by
+    |dither error| + 766, and the dither error is bounded by 255 for any
+    bleed >= 2 (each truncating Sierra split conserves magnitude and the
+    per-cell in-edge weights sum to 1, so E' <= (E + 255)/bleed has fixed
+    point 255). At bleed == 1 the error can grow by up to ~255 per
+    dependency hop (one row down, or 3 columns right within a row), so
+    batches with enough hops to threaten 2^20 are routed to the pure-XLA
+    path (native int32 division, exact) by optimize_batch_pallas."""
     q = (u.astype(jnp.float32) * (1.0 / div.astype(jnp.float32))).astype(jnp.int32)
     r = u - q * div
     q = q + (r >= div).astype(jnp.int32) - (r < 0).astype(jnp.int32)

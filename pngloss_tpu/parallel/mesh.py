@@ -94,11 +94,13 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
     # data-varying outputs; the computation is embarrassingly parallel
     if per_image:
         from pngloss_tpu.ops.optimize import band_pad_for
+        from pngloss_tpu.ops.optimize_pallas import wmax_class_for
 
         fn = functools.partial(
             optimize_batch_auto, bleed=bleed, bpp=bpp,
             use_row_filters=use_row_filters, impl=impl,
-            band_pad=band_pad_for(int(s_arr.max())), interpret=interp)
+            band_pad=band_pad_for(int(s_arr.max())), interpret=interp,
+            wmax=wmax_class_for(int(s_arr.max())))
         if ragged:
             sharded = jax.shard_map(
                 lambda r, s, wr, hr: fn(r, strength=s, w_real=wr, h_real=hr),

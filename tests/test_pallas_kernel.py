@@ -90,3 +90,53 @@ def test_image_kernel_default_and_opt_out(monkeypatch):
     assert not _image_kernel_eligible(6, 7, 3, True)
     rows = rng.integers(0, 256, size=(2, 6, 7 * 3), dtype=np.uint8)
     _check(rows, 3, 19)
+
+
+def test_tdiv_pos_exactness_boundary():
+    """Empirical sweep of _tdiv_pos's exactness domain: under IEEE f32
+    (the CPU backend) the reciprocal-multiply + two corrections is exact
+    through u < 2^24 — the kernels claim only u < 2^20, a 16x margin for
+    the TPU's approximate reciprocal (see pallas_row.py:_tdiv_pos)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pngloss_tpu.ops.pallas_row import _tdiv_pos
+
+    f = jax.jit(lambda u, d: _tdiv_pos(u, d))
+    rng = np.random.default_rng(0)
+    for div in (1, 2, 3, 5, 7, 9, 16, 127, 255, 4097, 32767):
+        qmax = ((1 << 24) - 1) // div
+        qs = np.unique(np.concatenate([
+            rng.integers(0, qmax + 1, 512),
+            np.array([0, 1, 2, qmax - 1, qmax])])).astype(np.int64)
+        # worst cases: exact multiples and one-below (quotient boundaries)
+        us = np.concatenate([qs * div, np.maximum(qs * div - 1, 0)])
+        us = np.unique(us[us < (1 << 24)]).astype(np.int32)
+        got = np.asarray(f(jnp.asarray(us), jnp.int32(div)))
+        np.testing.assert_array_equal(got, us // div, err_msg=f"div={div}")
+
+
+def test_bleed1_tall_image_routes_to_xla(monkeypatch):
+    """bleed == 1 lets dither error grow ~255 per hop; past ~4000 hops the
+    Pallas division could leave its exactness domain, so such batches must
+    route to the pure-XLA path (native exact int division)."""
+    from pngloss_tpu.ops import optimize as optimize_mod
+
+    calls = []
+    real = optimize_mod.optimize_batch
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(optimize_mod, "optimize_batch", spy)
+    rng = np.random.default_rng(60)
+    rows = rng.integers(0, 256, size=(1, 4100, 3), dtype=np.uint8)
+    q, f = optimize_batch_pallas(rows, 19, 1, bpp=1)
+    assert calls, "tall bleed=1 batch did not route to the XLA path"
+    assert q.shape == rows.shape
+    # short images at bleed 1 stay on the Pallas path
+    calls.clear()
+    rows = rng.integers(0, 256, size=(1, 6, 3), dtype=np.uint8)
+    optimize_batch_pallas(rows, 19, 1, bpp=1)
+    assert not calls
