@@ -16,10 +16,13 @@ This module reproduces that behavior in pure numpy, gated by
 ``PNGLOSS_ICC=1`` (the reference's default build has USE_LCMS off, and
 byte parity with the default build requires the transform stay off).
 Scope: matrix-shaper profiles (rXYZ/gXYZ/bXYZ + rTRC/gTRC/bTRC with
-'curv'/'para' curves) — the kind every PNG-embedded display profile is.
-LUT-based (A2B0) profiles are skipped with a warning; Little CMS's exact
-integer rounding is not byte-anchored (the transform is float, rounded
-once at the end), since no default-build oracle exists to anchor to.
+'curv'/'para' curves) — the kind every PNG-embedded display profile is —
+plus LUT-based profiles through their A2B0 pipeline (lut8/lut16/lutAToB
+tag types, tetrahedral CLUT interpolation, XYZ and Lab PCS encodings);
+validated against real Little CMS (tests/test_icc.py). Little CMS's
+exact integer rounding is not byte-anchored (the transform is float,
+rounded once at the end), since no default-build oracle exists to
+anchor to.
 """
 
 from __future__ import annotations
@@ -148,10 +151,7 @@ def _parse_curve(tag: bytes):
     return None
 
 
-def parse_matrix_shaper(profile: bytes):
-    """(M 3x3 RGB->XYZ(D50), [fr, fg, fb] linearization curves) or None.
-
-    Also returns None for LUT-based profiles (no rXYZ) — callers warn."""
+def _tag_table(profile: bytes) -> dict | None:
     if len(profile) < 132:
         return None
     (count,) = struct.unpack(">I", profile[128:132])
@@ -165,6 +165,17 @@ def parse_matrix_shaper(profile: bytes):
         if o + sz > len(profile):
             return None
         tags[sig] = profile[o:o + sz]
+    return tags
+
+
+def parse_matrix_shaper(profile: bytes):
+    """(M 3x3 RGB->XYZ(D50), [fr, fg, fb] linearization curves) or None.
+
+    Returns None for LUT-based profiles (no rXYZ) — callers then try
+    parse_a2b (the A2B0 pipeline) before giving up."""
+    tags = _tag_table(profile)
+    if tags is None:
+        return None
     need = (b"rXYZ", b"gXYZ", b"bXYZ", b"rTRC", b"gTRC", b"bTRC")
     if any(t not in tags for t in need):
         return None
@@ -186,6 +197,254 @@ def parse_matrix_shaper(profile: bytes):
 
 def profile_colorspace(profile: bytes) -> bytes:
     return profile[16:20] if len(profile) >= 20 else b""
+
+
+def profile_pcs(profile: bytes) -> bytes:
+    return profile[20:24] if len(profile) >= 24 else b""
+
+
+# ------------------------------------------------- LUT (A2B0) profiles
+
+
+_D50_WHITE = _D50  # PCS illuminant (ICC.1: PCS is always D50)
+
+
+def _lab_to_xyz(lab: np.ndarray) -> np.ndarray:
+    """CIE Lab (D50) -> XYZ (D50); lab: (N, 3) float."""
+    fy = (lab[:, 0] + 16.0) / 116.0
+    fx = fy + lab[:, 1] / 500.0
+    fz = fy - lab[:, 2] / 200.0
+    f = np.stack([fx, fy, fz], axis=1)
+    d = 6.0 / 29.0
+    lin = np.where(f > d, f ** 3, 3.0 * d * d * (f - 4.0 / 29.0))
+    return lin * _D50_WHITE[None, :]
+
+
+def _interp_curve_tables(tables: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Per-channel 1-D table lookup: tables (C, N) in [0,1], x (P, C)."""
+    out = np.empty_like(x)
+    for c in range(tables.shape[0]):
+        n = tables.shape[1]
+        xs = np.linspace(0.0, 1.0, n)
+        out[:, c] = np.interp(x[:, c], xs, tables[c])
+    return out
+
+
+def _clut_tetrahedral(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Tetrahedral interpolation of a 3-D CLUT (the interpolator lcms uses
+    for 3-channel tables). clut: (g, g, g, out_ch) in [0,1], first input
+    channel on axis 0; x: (P, 3) in [0,1]. Returns (P, out_ch)."""
+    g = clut.shape[0]
+    t = np.clip(x, 0.0, 1.0) * (g - 1)
+    i0 = np.minimum(t.astype(np.int64), g - 2)
+    f = t - i0                                  # fractional parts (P, 3)
+
+    def at(di, dj, dk):
+        return clut[i0[:, 0] + di, i0[:, 1] + dj, i0[:, 2] + dk]
+
+    c000 = at(0, 0, 0)
+    c111 = at(1, 1, 1)
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+    # six tetrahedra by the ordering of (fx, fy, fz)
+    out = np.empty_like(c000)
+    conds = [
+        (fx >= fy) & (fy >= fz),
+        (fx >= fz) & (fz > fy),
+        (fz > fx) & (fx >= fy),
+        (fy > fx) & (fx >= fz),
+        (fy >= fz) & (fz > fx),
+        (fz > fy) & (fy > fx),
+    ]
+    exprs = [
+        lambda: c000 + fx * (at(1, 0, 0) - c000) + fy * (at(1, 1, 0) - at(1, 0, 0)) + fz * (c111 - at(1, 1, 0)),
+        lambda: c000 + fx * (at(1, 0, 0) - c000) + fy * (c111 - at(1, 0, 1)) + fz * (at(1, 0, 1) - at(1, 0, 0)),
+        lambda: c000 + fx * (at(1, 0, 1) - at(0, 0, 1)) + fy * (c111 - at(1, 0, 1)) + fz * (at(0, 0, 1) - c000),
+        lambda: c000 + fx * (at(1, 1, 0) - at(0, 1, 0)) + fy * (at(0, 1, 0) - c000) + fz * (c111 - at(1, 1, 0)),
+        lambda: c000 + fx * (c111 - at(0, 1, 1)) + fy * (at(0, 1, 0) - c000) + fz * (at(0, 1, 1) - at(0, 1, 0)),
+        lambda: c000 + fx * (c111 - at(0, 1, 1)) + fy * (at(0, 1, 1) - at(0, 0, 1)) + fz * (at(0, 0, 1) - c000),
+    ]
+    filled = np.zeros(len(c000), bool)
+    for cond, expr in zip(conds, exprs):
+        m = cond[:, 0] & ~filled
+        if m.any():
+            out[m] = expr()[m]
+            filled |= m
+    return out
+
+
+def _parse_mft(tag: bytes):
+    """'mft1'/'mft2' (lut8/lut16Type) -> (in_tables (3,N), clut
+    (g,g,g,3), out_tables (3,M), matrix 3x3) or None."""
+    sig = tag[:4]
+    if len(tag) < 52 or tag[8] != 3 or tag[9] != 3:
+        return None                       # 3-in/3-out only (RGB -> PCS)
+    grid = tag[10]
+    if grid < 2:
+        return None
+    mat = np.array([_s15f16(tag, 12 + 4 * i) for i in range(9)]).reshape(3, 3)
+    if sig == b"mft1":
+        n_in = n_out = 256
+        off = 48
+        width, scale = 1, 255.0
+        dt = np.uint8
+    else:
+        n_in, n_out = struct.unpack(">HH", tag[48:52])
+        off = 52
+        width, scale = 2, 65535.0
+        dt = ">u2"
+    need = width * (3 * n_in + grid ** 3 * 3 + 3 * n_out)
+    if len(tag) < off + need or not (2 <= n_in <= 4096 and 2 <= n_out <= 4096):
+        return None
+    raw = np.frombuffer(tag, dt, count=3 * n_in, offset=off)
+    in_t = raw.reshape(3, n_in).astype(np.float64) / scale
+    off += width * 3 * n_in
+    clut = np.frombuffer(tag, dt, count=grid ** 3 * 3, offset=off).reshape(
+        grid, grid, grid, 3).astype(np.float64) / scale
+    off += width * grid ** 3 * 3
+    out_t = np.frombuffer(tag, dt, count=3 * n_out, offset=off).reshape(
+        3, n_out).astype(np.float64) / scale
+    return in_t, clut, out_t, mat
+
+
+def _parse_mab_curves(tag: bytes, off: int, n: int):
+    """n concatenated 'curv'/'para' tags starting at off (each padded to a
+    4-byte boundary) -> list of callables, or None."""
+    fns = []
+    for _ in range(n):
+        if off + 12 > len(tag):
+            return None
+        sig = tag[off:off + 4]
+        if sig == b"curv":
+            (count,) = struct.unpack(">I", tag[off + 8:off + 12])
+            size = 12 + 2 * count
+        elif sig == b"para":
+            (ftype,) = struct.unpack(">H", tag[off + 8:off + 10])
+            nparam = {0: 1, 1: 3, 2: 4, 3: 5, 4: 7}.get(ftype)
+            if nparam is None:
+                return None
+            size = 12 + 4 * nparam
+        else:
+            return None
+        f = _parse_curve(tag[off:off + size])
+        if f is None:
+            return None
+        fns.append(f)
+        off += (size + 3) & ~3
+    return fns
+
+
+def _parse_mab(tag: bytes):
+    """'mAB ' (lutAToBType) -> transform fn (P,3 in [0,1]) -> PCS floats.
+
+    Pipeline (device->PCS): A curves -> CLUT -> M curves -> matrix ->
+    B curves; absent stages (offset 0) are identity."""
+    if len(tag) < 32 or tag[8] != 3 or tag[9] != 3:
+        return None
+    ob, omat, om, oclut, oa = struct.unpack(">5I", tag[12:32])
+
+    a_fns = _parse_mab_curves(tag, oa, 3) if oa else None
+    m_fns = _parse_mab_curves(tag, om, 3) if om else None
+    b_fns = _parse_mab_curves(tag, ob, 3) if ob else None
+    if (oa and a_fns is None) or (om and m_fns is None) \
+            or (ob and b_fns is None):
+        return None
+
+    clut = None
+    if oclut:
+        if oclut + 20 > len(tag):
+            return None
+        grid = tag[oclut:oclut + 3]
+        if len(set(grid)) != 1:          # uniform grids only (the usual)
+            return None
+        g = grid[0]
+        prec = tag[oclut + 16]
+        dt, scale = ((np.uint8, 255.0) if prec == 1 else (">u2", 65535.0))
+        count = g ** 3 * 3
+        if oclut + 20 + count * prec > len(tag) or g < 2:
+            return None
+        clut = np.frombuffer(tag, dt, count=count, offset=oclut + 20).reshape(
+            g, g, g, 3).astype(np.float64) / scale
+
+    mat = None
+    if omat:
+        if omat + 48 > len(tag):
+            return None
+        v = [_s15f16(tag, omat + 4 * i) for i in range(12)]
+        mat = (np.array(v[:9]).reshape(3, 3), np.array(v[9:]))
+
+    def apply_fns(fns, x):
+        if fns is None:
+            return x
+        out = np.empty_like(x)
+        for c in range(3):
+            out[:, c] = np.clip(fns[c](np.clip(x[:, c], 0.0, 1.0)), 0.0, 1.0)
+        return out
+
+    def transform(x):
+        x = apply_fns(a_fns, x)
+        if clut is not None:
+            x = _clut_tetrahedral(clut, x)
+        x = apply_fns(m_fns, x)
+        if mat is not None:
+            x = x @ mat[0].T + mat[1][None, :]
+        return apply_fns(b_fns, x)
+
+    return transform
+
+
+def parse_a2b(profile: bytes):
+    """A2B0 pipeline of a LUT-based RGB profile -> fn (P,3 device floats)
+    -> (P,3) XYZ(D50), or None. Handles lut8/lut16/lutAToB tag types and
+    both PCS encodings (XYZ, Lab legacy/v4)."""
+    tags = _tag_table(profile)
+    if tags is None or b"A2B0" not in tags:
+        return None
+    tag = tags[b"A2B0"]
+    pcs = profile_pcs(profile)
+    sig = tag[:4]
+    if sig in (b"mft1", b"mft2"):
+        parsed = _parse_mft(tag)
+        if parsed is None:
+            return None
+        in_t, clut, out_t, mat = parsed
+
+        def pipeline(x, sig=sig):
+            # the mft matrix applies only when the input space is XYZ
+            # (ICC.1 10.8/10.9) — identity for device RGB input
+            x = _interp_curve_tables(in_t, x)
+            x = _clut_tetrahedral(clut, x)
+            return _interp_curve_tables(out_t, x)
+
+        legacy_lab = sig == b"mft2"
+    elif sig == b"mAB ":
+        pipeline = _parse_mab(tag)
+        if pipeline is None:
+            return None
+        legacy_lab = False
+    else:
+        return None
+
+    def to_xyz(x):
+        y = pipeline(x)
+        if pcs == b"Lab ":
+            if legacy_lab:
+                # lut16 legacy encoding: L max at 0xFF00/0xFFFF
+                lab = np.stack([
+                    y[:, 0] * (65535.0 / 65280.0) * 100.0,
+                    y[:, 1] * (65535.0 / 65280.0) * 255.0 - 128.0,
+                    y[:, 2] * (65535.0 / 65280.0) * 255.0 - 128.0,
+                ], axis=1)
+            else:
+                lab = np.stack([
+                    y[:, 0] * 100.0,
+                    y[:, 1] * 255.0 - 128.0,
+                    y[:, 2] * 255.0 - 128.0,
+                ], axis=1)
+            return _lab_to_xyz(lab)
+        # PCS XYZ: encoding max 0xFFFF = 1.99997 (u1Fixed15)
+        return y * (65535.0 / 32768.0)
+
+    return to_xyz
 
 
 # ----------------------------------------------------------- colorimetry
@@ -224,6 +483,19 @@ def _srgb_encode(lin: np.ndarray) -> np.ndarray:
     return np.where(lin <= 0.0031308,
                     12.92 * lin,
                     1.055 * np.power(lin, 1.0 / 2.4) - 0.055)
+
+
+def transform_rgba_lut(rgba: np.ndarray, to_xyz) -> np.ndarray:
+    """A2B0-pipeline transform of (H, W, 4) uint8 RGBA to sRGB (alpha
+    untouched): device RGB -> LUT pipeline -> XYZ(D50) -> sRGB."""
+    h, w = rgba.shape[:2]
+    out = rgba.copy()
+    x = rgba[:, :, :3].reshape(-1, 3).astype(np.float64) / 255.0
+    xyz = to_xyz(x)
+    srgb_lin = xyz @ _M_D50_SRGB.T
+    enc = _srgb_encode(srgb_lin).reshape(h, w, 3)
+    out[:, :, :3] = np.clip(np.rint(enc * 255.0), 0, 255).astype(np.uint8)
+    return out
 
 
 def transform_rgba(rgba: np.ndarray, m_in: np.ndarray, curves) -> np.ndarray:
@@ -267,9 +539,18 @@ def apply(data: bytes, img) -> str | None:
         if cs == b"RGB " and color_png:
             parsed = parse_matrix_shaper(profile)
             if parsed is None:
-                print("pngloss-tpu: iCCP profile is not matrix-shaper; "
-                      "skipping ICC transform", file=sys.stderr)
-                return None     # lcms would transform; we cannot — bail
+                to_xyz = parse_a2b(profile)
+                if to_xyz is None:
+                    print("pngloss-tpu: unusable iCCP profile (neither "
+                          "matrix-shaper nor A2B0 LUT); skipping ICC "
+                          "transform", file=sys.stderr)
+                    return None     # lcms would transform; we cannot — bail
+                # LUT-based profile (rwpng.c:309-392 handles these through
+                # lcms's A2B0 pipeline; same pipeline here in float)
+                img.rgba = transform_rgba_lut(img.rgba, to_xyz)
+                img.gamma = 0.45455
+                img.color_transform = pypng.COLOR_SRGB
+                return NOTE_ICCP
             m_curves = parsed
             note = NOTE_ICCP
         elif cs == b"GRAY" and not color_png:

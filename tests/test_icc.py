@@ -193,3 +193,106 @@ def test_gray_profile_warns_only(monkeypatch):
     assert img.icc_note == icc.NOTE_ICCP_WARN_GRAY
     assert np.array_equal(img.rgba, rgba)       # pixels untouched
     assert img.color_transform == codec.pypng.COLOR_SRGB
+
+
+def build_lut_profile(m_cols: np.ndarray, gamma: float, grid: int = 17,
+                      pcs: bytes = b"XYZ ") -> bytes:
+    """Minimal LUT-based (mft2 A2B0) RGB profile encoding the same
+    transform as build_matrix_profile: input curves = gamma, CLUT = the
+    matrix, identity output curves."""
+    n_in = n_out = 256
+    ramp = np.linspace(0.0, 1.0, n_in)
+    in_t = np.clip(ramp ** gamma, 0, 1)
+    in_words = np.round(in_t * 65535).astype(">u2")
+    g = np.linspace(0.0, 1.0, grid)
+    rgb = np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1).reshape(-1, 3)
+    xyz = rgb @ m_cols.T
+    if pcs == b"XYZ ":
+        clut = np.clip(xyz * (32768.0 / 65535.0), 0, 1)
+    else:
+        raise NotImplementedError
+    clut_words = np.round(clut * 65535).astype(">u2")
+    out_words = np.round(np.linspace(0, 65535, n_out)).astype(">u2")
+    ident = [1, 0, 0, 0, 1, 0, 0, 0, 1]
+    body = (b"mft2" + b"\0" * 4 + bytes([3, 3, grid, 0])
+            + b"".join(struct.pack(">i", v * 65536) for v in ident)
+            + struct.pack(">HH", n_in, n_out)
+            + np.tile(in_words, 3).tobytes()
+            + clut_words.tobytes()
+            + np.tile(out_words, 3).tobytes())
+    tags = [
+        (b"desc", _tag_text(b"pngloss-tpu lut test profile")),
+        (b"wtpt", _tag_xyz([0.9642, 1.0, 0.8249])),
+        (b"A2B0", body),
+        (b"cprt", b"text" + b"\0" * 4 + b"none\0"),
+    ]
+    table = struct.pack(">I", len(tags))
+    off = 128 + 4 + 12 * len(tags)
+    bodies = b""
+    for sig, tag_body in tags:
+        pad = (-len(tag_body)) % 4
+        table += sig + struct.pack(">II", off, len(tag_body))
+        bodies += tag_body + b"\0" * pad
+        off += len(tag_body) + pad
+    size = 128 + 4 + 12 * len(tags) + len(bodies)
+    header = struct.pack(
+        ">I4sI4s4s4s12s4s4s", size, b"lcms", 0x02400000, b"mntr", b"RGB ",
+        pcs, b"\0" * 12, b"acsp", b"\0" * 4)
+    header = header.ljust(68, b"\0")
+    header += _tag_xyz([0.9642, 1.0, 0.8249])[8:]
+    header = header.ljust(128, b"\0")
+    return header + table + bodies
+
+
+def test_lut_profile_matches_littlecms():
+    """A2B0 (lut16) pipeline — tetrahedral CLUT + curves + PCS XYZ
+    decoding — against real lcms on the same profile (rwpng.c would hand
+    these profiles to lcms; matrix-shaper-only support was a round-2
+    scope gap)."""
+    ImageCms = pytest.importorskip("PIL.ImageCms")
+    from PIL import Image
+    import io
+
+    m = icc.rgb_matrix_from_chrm(ADOBE_CHRM)
+    profile = build_lut_profile(m, 2.2, grid=33)
+    assert icc.parse_matrix_shaper(profile) is None   # genuinely LUT-only
+
+    to_xyz = icc.parse_a2b(profile)
+    assert to_xyz is not None
+    rng = np.random.default_rng(11)
+    rgba = rng.integers(0, 256, (16, 32, 4), np.uint8)
+    ours = icc.transform_rgba_lut(rgba, to_xyz)
+
+    src = ImageCms.ImageCmsProfile(io.BytesIO(profile))
+    dst = ImageCms.createProfile("sRGB")
+    im = Image.fromarray(rgba[:, :, :3], "RGB")
+    # cmsFLAGS_NOOPTIMIZE: let lcms walk the true pipeline instead of a
+    # requantized device-link (whose own error vs the analytic transform
+    # is up to 15 LSB on this profile)
+    xform = ImageCms.buildTransform(src, dst, "RGB", "RGB",
+                                    renderingIntent=0, flags=0x0100)
+    ref = np.asarray(ImageCms.applyTransform(im, xform))
+    diff = np.abs(ours[:, :, :3].astype(int) - ref.astype(int))
+    assert diff.max() <= 2
+    assert diff.mean() < 0.5
+    assert np.array_equal(ours[:, :, 3], rgba[:, :, 3])
+
+
+def test_lut_profile_end_to_end(monkeypatch):
+    monkeypatch.setenv("PNGLOSS_ICC", "1")
+    m = icc.rgb_matrix_from_chrm(ADOBE_CHRM)
+    profile = build_lut_profile(m, 2.2)
+    body = b"test\0\0" + zlib.compress(profile)
+    rng = np.random.default_rng(12)
+    rgba = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    rgba[:, :, 3] = 255
+    data = _png_with_chunks(rgba, [(b"iCCP", body)])
+    img = codec.decode(data)
+    assert img.icc_note == icc.NOTE_ICCP
+    assert img.gamma == 0.45455
+    # same colorimetry as the equivalent matrix profile
+    mp, _ = _adobe_profile()
+    parsed = icc.parse_matrix_shaper(mp)
+    expect = icc.transform_rgba(rgba, parsed[0], parsed[1])
+    assert np.abs(img.rgba[:, :, :3].astype(int)
+                  - expect[:, :, :3].astype(int)).max() <= 2
