@@ -5,12 +5,16 @@ Baseline (BASELINE.json north star): 10,000 1MP-images/sec on v5e-8,
 i.e. 1,250 1MP-images/sec/chip — vs_baseline is measured against the
 per-chip share so the number is honest on a single chip.
 
-Measurement: DEVICE compute rate by dispatch slopes — k back-to-back
-dispatches of the production program whose outputs are sum-reduced on
-device (so fetches are scalars), timed as slope = (t(1+n) - t(1)) / n.
-The input batch is `jax.device_put` ONCE before the timed loop, so timed
-dispatches are input-resident and a slow host link cannot pollute the
-slope.
+Measurement: DEVICE compute rate by IN-PROGRAM slopes — one jitted
+program runs the production optimizer k times via lax.scan (inputs
+perturbed per step so XLA cannot CSE the iterations), its outputs
+sum-reduced to one scalar; slope = (t(prog_k) - t(prog_1)) / (k - 1).
+The input batch is `jax.device_put` ONCE before the timed loop. Keeping
+the repetition inside a single dispatch matters on this box: every
+dispatch RPC through the TPU tunnel costs a constant ~25 ms (measured:
+a trivial jitted op's dispatch slope), which a dispatch-per-iteration
+slope would book as device time (~13% at round-3 kernel speed, and
+growing as the kernel gets faster).
 
 Robustness (round-3, after BENCH_r02 recorded a degraded-tunnel 1.14
 img/s while the same code measured 16.6 on a re-run):
@@ -75,18 +79,18 @@ def _cluster_slope(slopes: list[float]) -> float:
     return cluster[len(cluster) // 2]
 
 
-def _measure_slopes(once, trials: int) -> list[float]:
-    def timed(k):
-        t0 = time.time()
-        vals = [once() for _ in range(k)]
-        _ = [float(v) for v in vals]
-        return time.time() - t0
-
+def _measure_slopes(run_k, trials: int, k: int = 4) -> list[float]:
+    """run_k(k) dispatches ONE program doing k in-program iterations and
+    blocks on its scalar; slope = (t(k) - t(1)) / (k - 1)."""
     slopes = []
     for _ in range(trials):
-        t1 = timed(1)
-        t4 = timed(4)
-        slopes.append((t4 - t1) / 3)
+        t0 = time.time()
+        run_k(1)
+        t1 = time.time() - t0
+        t0 = time.time()
+        run_k(k)
+        tk = time.time() - t0
+        slopes.append((tk - t1) / (k - 1))
     return slopes
 
 
@@ -117,28 +121,48 @@ def main() -> None:
         0, 256, (chunk_b, work.shape[0], 4 * bpp), np.uint8)
     chunk_mp = chunk_b * work.shape[0] * (work.shape[1] // bpp) / 1e6
 
+    import functools
+
+    from jax import lax
+
     from pngloss_tpu.ops.optimize import band_pad_for
+    from pngloss_tpu.ops.optimize_pallas import wmax_class_for
 
     # input-resident: upload ONCE, outside every timed region
     batch_dev = jax.device_put(jnp.asarray(batch))
+    band_pad = band_pad_for(strength)
+    wmax = wmax_class_for(strength)
 
-    def once():
-        q, f = optimize_batch_auto(batch_dev, strength, 2, bpp=bpp,
-                                   band_pad=band_pad_for(strength))
-        return jnp.sum(q.astype(jnp.int32)) + jnp.sum(f.astype(jnp.int32))
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def prog(rows, *, k: int):
+        def step(acc, i):
+            # perturb one byte stripe per iteration so XLA cannot fold
+            # the k iterations into one
+            r = rows.at[:, 0, 0].set(i)
+            q, f = optimize_batch_auto(r, strength, 2, bpp=bpp,
+                                       band_pad=band_pad, wmax=wmax)
+            return (acc + jnp.sum(q.astype(jnp.int32))
+                    + jnp.sum(f.astype(jnp.int32))), None
+        acc, _ = lax.scan(step, jnp.int32(0),
+                          jnp.arange(k, dtype=jnp.uint8))
+        return acc
+
+    def run_k(k):
+        return float(prog(batch_dev, k=k))
 
     t0 = time.time()
-    float(once())            # compile + tunnel warmup
+    run_k(1)                 # compile + tunnel warmup
+    run_k(4)
     compile_s = time.time() - t0
 
     trials = int(os.environ.get("PNGLOSS_BENCH_TRIALS", "7"))
     retries = int(os.environ.get("PNGLOSS_BENCH_RETRIES", "2"))
 
     calib = _load_calib()
-    key = f"{batch.shape}|s{strength}|{jax.default_backend()}"
+    key = f"v2|{batch.shape}|s{strength}|{jax.default_backend()}"
     best_known = calib.get(key)
 
-    slopes = _measure_slopes(once, trials)
+    slopes = _measure_slopes(run_k, trials)
     slope = _cluster_slope(slopes)
     first_slope = slope
     attempts = 1
@@ -149,7 +173,7 @@ def main() -> None:
               f"cooling down {COOLDOWN_S:.0f}s and re-measuring "
               f"(attempt {attempts}/{retries})", file=sys.stderr)
         time.sleep(COOLDOWN_S)
-        retry = _measure_slopes(once, trials)
+        retry = _measure_slopes(run_k, trials)
         retry_slope = _cluster_slope(retry)
         if retry_slope < slope:
             slopes, slope = retry, retry_slope

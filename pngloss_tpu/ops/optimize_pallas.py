@@ -234,18 +234,17 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
     if ofreq is not None:
         if w_real is not None:
             w_real = jnp.asarray(w_real, jnp.int32)
-    elif w_real is None:
-        ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
-            jnp.moveaxis(src_rows, 2, 0).reshape(
-                b, src_rows.shape[0], w, bpp))                 # (B, 5, 256)
     else:
-        w_real = jnp.asarray(w_real, jnp.int32)
-        h_real = (jnp.full((b,), h, jnp.int32) if h_real is None
-                  else jnp.asarray(h_real, jnp.int32))
-        ofreq = jax.vmap(
-            lambda img, wr, hr: _original_frequencies(img, bpp, wr, hr))(
+        from pngloss_tpu.ops.pallas_hist import original_frequencies_pallas
+
+        if w_real is not None:
+            w_real = jnp.asarray(w_real, jnp.int32)
+            h_real = (jnp.full((b,), h, jnp.int32) if h_real is None
+                      else jnp.asarray(h_real, jnp.int32))
+        ofreq = original_frequencies_pallas(
             jnp.moveaxis(src_rows, 2, 0).reshape(
-                b, src_rows.shape[0], w, bpp), w_real, h_real)
+                b, src_rows.shape[0], w, bpp), bpp,
+            w_real, h_real, interpret=interpret)           # (B, 5, 256)
     if packed:
         ofreq_ext = jax.vmap(_rank_tables)(ofreq)   # modular: no extension
     else:
@@ -369,16 +368,15 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
     table = 256   # modular table: strength-independent
     rows_t = jnp.transpose(rows.astype(jnp.int32), (1, 2, 0))   # (H, Wb, B)
 
-    if w_real is None:
-        ofreq = jax.vmap(lambda img: _original_frequencies(img, bpp))(
-            jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp))
-    else:
+    from pngloss_tpu.ops.pallas_hist import original_frequencies_pallas
+
+    if w_real is not None:
         w_real = jnp.asarray(w_real, jnp.int32)
         h_real = (jnp.full((b,), h, jnp.int32) if h_real is None
                   else jnp.asarray(h_real, jnp.int32))
-        ofreq = jax.vmap(
-            lambda img, wr, hr: _original_frequencies(img, bpp, wr, hr))(
-            jnp.moveaxis(rows_t, 2, 0).reshape(b, h, w, bpp), w_real, h_real)
+    ofreq = original_frequencies_pallas(
+        rows.astype(jnp.int32).reshape(b, h, w, bpp), bpp,
+        w_real, h_real, interpret=interpret)
     ranks = jax.vmap(_rank_tables)(ofreq)
     rank5 = jnp.transpose(ranks, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
 

@@ -171,66 +171,77 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
         e_tile.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32).astype(jnp.int32)
 
+    ri8 = lax.broadcasted_iota(jnp.int32, (STRIDE, l5), 0)
+    # per-row derivative-error weights: how many of the 4 color_delta
+    # lanes each channel feeds (rows >= bpp weigh 0, masking the stride
+    # padding) — a compile-time constant (8, L) array
+    wgt_list = {1: [3], 2: [3, 1], 3: [1, 1, 1], 4: [1, 1, 1, 1]}[bpp]
+    w8 = jnp.zeros((STRIDE, l5), jnp.int32)
+    for c, wg in enumerate(wgt_list):
+        w8 = jnp.where(ri8 == c, wg, w8)
+
     def body(x, carry):
-        left, prev_above, prev_orig, prev_oprev, e_hi, e_lo = carry
+        # all carries are (8, L) pixel blocks; channel-independent math
+        # runs once on the whole block (channels on sublanes) and only the
+        # histogram-coupled selection runs per channel
+        left8, prev_above, prev_orig, prev_oprev, e_hi8, e_lo8 = carry
         cmask = (x < wr_ref[:, :]).astype(jnp.int32)        # (1, L)
         orig_px = orig_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         above_px = qprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         oprev_px = oprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         ce_px = err0_s[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
 
-        e_px = jnp.zeros_like(e_hi)
-        backs = []
-        heres = []
+        # ---- channel-batched predictor + band math on (8, L) blocks ----
+        avg = (above_px + left8) >> 1
+        p = above_px - prev_above
+        pd = left8 - prev_above
+        p_left = jnp.abs(p)
+        p_above = jnp.abs(pd)
+        p_d = jnp.abs(p + pd)
+        paeth = jnp.where(
+            (p_left <= p_above) & (p_left <= p_d), left8,
+            jnp.where(p_above <= p_d, above_px, prev_above))
+        pred8 = jnp.where(
+            f_lane == 1, left8,
+            jnp.where(f_lane == 2, above_px,
+                      jnp.where(f_lane == 3, avg,
+                                jnp.where(f_lane == 4, paeth, 0))))
+        if bpp == 2:
+            # gray+alpha: the alpha channel (row 1) reads dither lane 3
+            # (color_delta.c:9-39) — remap by a static sublane roll
+            ce8 = jnp.where(ri8 == 1, pltpu.roll(ce_px, STRIDE - 2, axis=0),
+                            ce_px)
+        else:
+            ce8 = ce_px
+        here8 = orig_px + ce8
+
+        osym8 = orig_px - pred8
+        predw8 = pred8 + jnp.where(osym8 < -128, -256,
+                                   jnp.where(osym8 > 127, 256, 0))
+        osym8 = orig_px - predw8
+        filt8 = here8 - predw8
+
+        q8 = _tdiv_pos(jnp.abs(filt8), band)
+        mn8 = jnp.where(filt8 < 0, -q8 * band - s, q8 * band)
+        mx8 = mn8 + s
+        mn8 = jnp.where(mn8 + predw8 < 0, -predw8, mn8)
+        mx8 = jnp.where(mx8 + predw8 > 255, 255 - predw8, mx8)
+        inv = mx8 < mn8
+        over = inv & (filt8 + predw8 > 255)
+        under = inv & (filt8 + predw8 < 0)
+        mn8 = jnp.where(over, 255 - predw8, jnp.where(under, -predw8, mn8))
+        mx8 = jnp.where(over, 255 - predw8, jnp.where(under, -predw8, mx8))
+        start8 = mn8 & 0xFF
+        width8 = mx8 - mn8
+        u_orig8 = osym8 - mn8
+
+        # ---- per-channel: histogram-coupled selection + update ----
+        back8 = jnp.zeros((STRIDE, l5), jnp.int32)
         for c in range(bpp):
-            orig_c = orig_px[c:c + 1, :]
-            above_c = above_px[c:c + 1, :]
-            diag_c = prev_above[c:c + 1, :]
-            left_c = left[c]
-
-            avg = (above_c + left_c) >> 1
-            p = above_c - diag_c
-            pd = left_c - diag_c
-            p_left = jnp.abs(p)
-            p_above = jnp.abs(pd)
-            p_d = jnp.abs(p + pd)
-            paeth = jnp.where(
-                (p_left <= p_above) & (p_left <= p_d), left_c,
-                jnp.where(p_above <= p_d, above_c, diag_c))
-            pred = jnp.where(
-                f_lane == 1, left_c,
-                jnp.where(f_lane == 2, above_c,
-                          jnp.where(f_lane == 3, avg,
-                                    jnp.where(f_lane == 4, paeth, 0))))
-
-            lane = 3 if (bpp == 2 and c == 1) else c
-            ce = ce_px[lane:lane + 1, :]
-            here_c = orig_c + ce
-
-            osym = orig_c - pred
-            predw = pred + jnp.where(osym < -128, -256,
-                                     jnp.where(osym > 127, 256, 0))
-            osym = orig_c - predw
-            filt = here_c - predw
-
-            q = _tdiv_pos(jnp.abs(filt), band)
-            mn = jnp.where(filt < 0, -q * band - s, q * band)
-            mx = mn + s
-            mn = jnp.where(mn + predw < 0, -predw, mn)
-            mx = jnp.where(mx + predw > 255, 255 - predw, mx)
-            inv = mx < mn
-            over = inv & (filt + predw > 255)
-            under = inv & (filt + predw < 0)
-            mn = jnp.where(over, 255 - predw, jnp.where(under, -predw, mn))
-            mx = jnp.where(over, 255 - predw, jnp.where(under, -predw, mx))
-
-            # modular-window packed-key selection (see pallas_row.py): the
-            # table is exactly 256 rows; u = (t - start) mod 256 linearizes
-            # the band, min-u is the C scan-order tie-break
-            start = mn & 0xFF
+            start = start8[c:c + 1, :]
+            width = width8[c:c + 1, :]
+            u_orig = u_orig8[c:c + 1, :]
             hist = hist_s[:, :]
-            width = mx - mn
-            u_orig = osym - mn
             if wmax:
                 # small-strength fast path: barrel-rotate the window to
                 # rows [0, width] so the selection reductions sweep
@@ -253,98 +264,80 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                               axis=0, keepdims=True)
             u_best = jnp.where(sel < 0, u_orig, sel)
             sym_byte = (start + u_best) & 0xFF
-            back_c = u_best + mn + predw
+            back_c = u_best + mn8[c:c + 1, :] + predw8[c:c + 1, :]
 
             if bpp % 2 == 0 and c == bpp - 1:
-                transp = orig_c == 0
+                transp = orig_px[c:c + 1, :] == 0
                 back_c = jnp.where(transp, 0, back_c)
-                here_c = jnp.where(transp, 0, here_c)
-                sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
+                sym_byte = jnp.where(
+                    transp, (0 - pred8[c:c + 1, :]) & 0xFF, sym_byte)
 
             hist_s[:, :] = hist + (iota_t == sym_byte) * (256 * cmask)
+            back8 = jnp.where(ri8 == c, back_c, back8)
 
-            # derivative error (optimize_state.c:265-289), accumulated
-            # in-scan: all six neighbor values are at hand, so the tail
-            # needs no row-sized temporaries. Channel weight = how many of
-            # the 4 color_delta lanes this channel feeds.
-            wgt = {1: [3], 2: [3, 1], 3: [1, 1, 1], 4: [1, 1, 1, 1]}[bpp][c]
-            d_above = (back_c - above_c) - (orig_c - oprev_px[c:c + 1, :])
-            d_diag = (back_c - diag_c) - (orig_c - prev_oprev[c:c + 1, :])
-            d_left = (back_c - left_c) - (orig_c - prev_orig[c:c + 1, :])
-            e_px = e_px + wgt * (d_above * d_above + d_diag * d_diag
-                                 + d_left * d_left)
-            backs.append(back_c)
-            heres.append(here_c)
-        e_px = e_px * cmask
+        qrow_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back8
 
-        ri8 = lax.broadcasted_iota(jnp.int32, (STRIDE, l5), 0)
-        back_px = jnp.zeros((STRIDE, l5), jnp.int32)
-        for c in range(bpp):
-            back_px = jnp.where(ri8 == c, backs[c], back_px)
-        qrow_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back_px
+        # ---- channel-batched derivative error (optimize_state.c:265-289)
+        # accumulated per (channel-row, lane) with the exact /128 split —
+        # the identity sum(e) = 128*sum(e>>7) + sum(e&127) holds for any
+        # grouping, so the row-end reduce recovers the C totals exactly
+        d_above = (back8 - above_px) - (orig_px - oprev_px)
+        d_diag = (back8 - prev_above) - (orig_px - prev_oprev)
+        d_left = (back8 - left8) - (orig_px - prev_orig)
+        e_px8 = w8 * (d_above * d_above + d_diag * d_diag
+                      + d_left * d_left) * cmask
+        e_hi8 = e_hi8 + (e_px8 >> 7)
+        e_lo8 = e_lo8 + (e_px8 & 127)
 
-        lanes = {1: [0, 0, 0, None], 2: [0, 0, 0, 1],
-                 3: [0, 1, 2, None], 4: [0, 1, 2, 3]}[bpp]
-        diffs = [(heres[c] - backs[c]) * cmask for c in range(bpp)]
-        twos_l, threes_l, fours_l, five_l, rem_l = ([None] * 4 for _ in range(5))
-        cache = {}
-        for i in range(4):
-            c = lanes[i]
-            if c is None:
-                continue
-            if c not in cache:
-                d = _tdiv(diffs[c], bleed)
-                twos = _tdiv_shift(d, 4)
-                d = d - twos * 4
-                threes = _tdiv_shift(d, 3)
-                d = d - threes * 2
-                fours = _tdiv(d * 2, jnp.int32(9))
-                d = d - fours * 2
-                five = _tdiv_shift(d, 1)
-                d = d - five
-                cache[c] = (twos, threes, fours, five, d)
-            twos_l[i], threes_l[i], fours_l[i], five_l[i], rem_l[i] = cache[c]
+        # ---- channel-batched Sierra diffusion (optimize_state.c:390-490)
+        # on the dither-lane layout. The transparent-pixel rule forces
+        # here == back == 0, so the alpha diff is zeroed where transparent.
+        diffs8 = (here8 - back8) * cmask
+        if bpp % 2 == 0:
+            transp8 = (ri8 == bpp - 1) & (orig_px == 0)
+            diffs8 = jnp.where(transp8, 0, diffs8)
+        if bpp == 1:
+            # dither lanes 1, 2 replicate lane 0 in the C buffers but are
+            # never read back (only lane c < bpp and lane 3 for bpp == 2
+            # feed `here`), so they are dropped here
+            dl8 = jnp.where(ri8 == 0, diffs8, 0)
+        elif bpp == 2:
+            dl8 = jnp.where(ri8 == 3, pltpu.roll(diffs8, 2, axis=0),
+                            jnp.where(ri8 == 0, diffs8, 0))
+        else:
+            dl8 = diffs8       # identity lane map; padding rows are zero
+        d = _tdiv(dl8, bleed)
+        twos8 = _tdiv_shift(d, 4)
+        d = d - twos8 * 4
+        threes8 = _tdiv_shift(d, 3)
+        d = d - threes8 * 2
+        fours8 = _tdiv(d * 2, jnp.int32(9))
+        d = d - fours8 * 2
+        five8 = _tdiv_shift(d, 1)
+        rem8 = d - five8
 
-        def compose(vals, rows_n):
-            ri = lax.broadcasted_iota(jnp.int32, (rows_n, l5), 0) & 7
-            if (vals[0] is not None and vals[0] is vals[1]
-                    and vals[1] is vals[2]):
-                tail = jnp.zeros((rows_n, l5), jnp.int32)
-                if vals[3] is not None:
-                    tail = jnp.where(ri == 3, vals[3], tail)
-                return jnp.where(ri <= 2, vals[0], tail)
-            out = jnp.zeros((rows_n, l5), jnp.int32)
-            for i in range(4):
-                if vals[i] is not None:
-                    out = jnp.where(ri == i, vals[i], out)
-            return out
+        def rmw(ref, col, val):
+            r = pl.multiple_of(col * STRIDE, 8)
+            ref[pl.ds(r, STRIDE), :] = ref[pl.ds(r, STRIDE), :] + val
 
-        bi8 = lax.broadcasted_iota(jnp.int32, (2 * STRIDE, l5), 0) >> 3
-        u0 = jnp.where(bi8 == 0, compose(rem_l, 2 * STRIDE),
-                       compose(threes_l, 2 * STRIDE))
-        r0 = pl.multiple_of((x + 3) * STRIDE, 8)
-        err0_s[pl.ds(r0, 2 * STRIDE), :] = err0_s[pl.ds(r0, 2 * STRIDE), :] + u0
-        bi20 = lax.broadcasted_iota(jnp.int32, (5 * STRIDE, l5), 0) >> 3
-        u1 = jnp.where((bi20 == 0) | (bi20 == 4), compose(twos_l, 5 * STRIDE),
-                       jnp.where(bi20 == 2, compose(five_l, 5 * STRIDE),
-                                 compose(fours_l, 5 * STRIDE)))
-        r1 = pl.multiple_of(x * STRIDE, 8)
-        e0n_s[pl.ds(r1, 5 * STRIDE), :] = e0n_s[pl.ds(r1, 5 * STRIDE), :] + u1
-        bi12 = lax.broadcasted_iota(jnp.int32, (3 * STRIDE, l5), 0) >> 3
-        u2 = jnp.where(bi12 == 1, compose(threes_l, 3 * STRIDE),
-                       compose(twos_l, 3 * STRIDE))
-        r2 = pl.multiple_of((x + 1) * STRIDE, 8)
-        e1n_s[pl.ds(r2, 3 * STRIDE), :] = e1n_s[pl.ds(r2, 3 * STRIDE), :] + u2
+        rmw(err0_s, x + 3, rem8)        # current row
+        rmw(err0_s, x + 4, threes8)
+        rmw(e0n_s, x, twos8)            # next row
+        rmw(e0n_s, x + 1, fours8)
+        rmw(e0n_s, x + 2, five8)
+        rmw(e0n_s, x + 3, fours8)
+        rmw(e0n_s, x + 4, twos8)
+        rmw(e1n_s, x + 1, twos8)        # row after next
+        rmw(e1n_s, x + 2, threes8)
+        rmw(e1n_s, x + 3, twos8)
 
-        e_hi = e_hi + (e_px >> 7)
-        e_lo = e_lo + (e_px & 127)
-        return (tuple(backs), above_px, orig_px, oprev_px, e_hi, e_lo)
+        return (back8, above_px, orig_px, oprev_px, e_hi8, e_lo8)
 
-    left0 = tuple(jnp.zeros((1, l5), jnp.int32) for _ in range(bpp))
     z8 = jnp.zeros((STRIDE, l5), jnp.int32)
-    z1 = jnp.zeros((1, l5), jnp.int32)
-    _, _, _, _, e_hi, e_lo = lax.fori_loop(
-        0, w, body, (left0, z8, z8, z8, z1, z1))
+    _, _, _, _, e_hi8, e_lo8 = lax.fori_loop(
+        0, w, body, (z8, z8, z8, z8, z8, z8))
+    e_hi = jnp.sum(e_hi8, axis=0, keepdims=True)
+    e_lo = jnp.sum(e_lo8, axis=0, keepdims=True)
 
     # ---- row cost (hist-delta identity) + derivative error, per lane ----
     hw = hist_s[:, :]
