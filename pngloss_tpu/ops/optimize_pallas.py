@@ -355,12 +355,17 @@ def wmax_class_for(s_max: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bpp", "band_pad", "interpret", "wmax"))
+    "bpp", "band_pad", "interpret", "wmax", "adaptive"))
 def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
                                      h_real=None, *, bpp, band_pad,
-                                     interpret, wmax=0):
+                                     interpret, wmax=0, adaptive=False):
     """Row 0 via the per-row path (adaptive check + fallback), rows 1..H-1
-    in ONE whole-image kernel launch (pallas_image.py)."""
+    in ONE whole-image kernel launch (pallas_image.py).
+
+    adaptive=True is the embedding-mode speculation: every row runs the
+    MSAD self-check in-kernel at full strength; returns a third output
+    ok (B,) — True iff every row had a passing filter, i.e. the
+    speculative result equals the per-row fallback path's."""
     from pngloss_tpu.ops.pallas_image import image_rows_pallas
 
     b, h, wb = rows.shape
@@ -388,8 +393,8 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
     # through so the program contains ONE pre-pass, not two
     q0, f0, carry = optimize_batch_pallas_t(
         rows_t[:1], strength, bleed, bpp=bpp, band_pad=band_pad,
-        use_row_filters=True, interpret=interpret, return_carry=True,
-        ofreq=ofreq, w_real=w_real, h_real=h_real)
+        use_row_filters=not adaptive, interpret=interpret,
+        return_carry=True, ofreq=ofreq, w_real=w_real, h_real=h_real)
     qprev_t, oprev_t, e0, e1, hist = carry
 
     s_vec = jnp.broadcast_to(strength, (1, b)).astype(jnp.int32)
@@ -399,13 +404,13 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
     # lane replication happens in-kernel (exact bf16 selection matmul), so
     # neither the XLA tile op nor 5x the HBM traffic is paid here
     orig_rows = jax.vmap(lambda r: _to_stride8(r, w, bpp))(rows_t[1:])
-    qrows, filt = image_rows_pallas(
+    qrows, filt, ok = image_rows_pallas(
         _tile5(s_vec), bleed, wr5, rank5, orig_rows,
         _tile5(_to_stride8(qprev_t, w, bpp)),
         _tile5(_to_stride8(oprev_t, w, bpp)),
         _tile5(e0), _tile5(e1), _tile5(hist),
         w=w, h=h, bpp=bpp, b=b, table=table, interpret=interpret,
-        wmax=wmax)
+        wmax=wmax, adaptive=adaptive)
 
     q_rest = qrows.reshape(h - 1, w, STRIDE, b)[:, :, :bpp]
     q_rest = q_rest.reshape(h - 1, wb, b)
@@ -413,6 +418,9 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
     qrows_t = jnp.concatenate([q0, q_rest])
     filters = jnp.concatenate([f0, f_rest.astype(jnp.int8)])
     q = jnp.transpose(qrows_t, (2, 0, 1)).astype(jnp.uint8)
+    if adaptive:
+        return (q, jnp.transpose(filters, (1, 0)),
+                jnp.min(ok[:, 0, :], axis=0) > 0)
     return q, jnp.transpose(filters, (1, 0))
 
 
@@ -513,6 +521,14 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
                   else jnp.asarray(h_real, jnp.int32))
     use_image = _image_kernel_eligible(rows.shape[1], wb // bpp, bpp,
                                        use_row_filters, band_pad)
+    # embedding-mode speculation (optimizeForAverageFilter): run the
+    # whole-image kernel with the MSAD self-check in-kernel; images where
+    # any row had no passing filter (the strength-fallback case,
+    # pngloss_image.c:266-275) are re-run through the per-row path
+    use_image_embed = (
+        not use_row_filters and not traced
+        and _image_kernel_eligible(rows.shape[1], wb // bpp, bpp, True,
+                                   band_pad))
     if wmax is None:
         # rotated-window class from the batch's max strength (host-known
         # unless we are inside an outer trace, where the caller must pass
@@ -531,17 +547,36 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
             bpp=bpp, band_pad=band_pad,
             use_row_filters=use_row_filters, interpret=interpret)
 
+    def _run_embed(part, s_part, wr=None, hr=None):
+        q, f, ok = _optimize_batch_pallas_image_jit(
+            part, s_part, jnp.int32(bleed), wr, hr,
+            bpp=bpp, band_pad=band_pad, interpret=interpret,
+            wmax=wmax, adaptive=True)
+        ok = np.asarray(ok)
+        if ok.all():
+            return q, f
+        # some image needed the strength fallback: the speculative state
+        # past the failing row is invalid for it — re-run the chunk
+        # through the per-row path (rare; keeps program shapes stable)
+        q, f = np.array(q), np.array(f)
+        q2, f2 = _run(part, s_part, wr, hr)
+        bad = ~ok
+        q[bad] = np.asarray(q2)[bad]
+        f[bad] = np.asarray(f2)[bad]
+        return q, f
+
+    runner = _run_embed if use_image_embed else _run
     if traced:
         # inside an outer trace (shard_map/jit): no host-side chunking
         return _run(rows, s_arr, w_real, h_real)
-    if use_image:
+    if use_image or use_image_embed:
         from pngloss_tpu.ops.pallas_image import max_batch_image
         chunk = min(b, max_batch_image(wb // bpp, bpp, band_pad,
                                        h=rows.shape[1]))
     else:
         chunk = min(b, max_batch_for(wb // bpp, bpp, band_pad))
     if b <= chunk:
-        return _run(rows, s_arr, w_real, h_real)
+        return runner(rows, s_arr, w_real, h_real)
 
     def _pad(a, n):
         return jnp.concatenate(
@@ -560,7 +595,7 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
                 s_part = _pad(s_part, n)
             if ragged:
                 wr, hr = _pad(wr, n), _pad(hr, n)
-        q, f = _run(part, s_part, wr, hr)
+        q, f = runner(part, s_part, wr, hr)
         qs.append(np.asarray(q)[:n])
         fs.append(np.asarray(f)[:n])
     return np.concatenate(qs), np.concatenate(fs)

@@ -107,10 +107,11 @@ def _bitlength(n):
 
 def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                   qprev0_ref, oprev0_ref, e00_ref, e10_ref, hist0_ref,
-                  qrow_out_ref, filt_out_ref,
+                  qrow_out_ref, filt_out_ref, ok_out_ref,
                   err0_s, e0n_s, e1n_s, hist_s, qprev_s, oprev_s,
                   orig_s, qrow_s, dma_sem,
-                  *, w: int, bpp: int, b: int, table: int, wmax: int = 0):
+                  *, w: int, bpp: int, b: int, table: int, wmax: int = 0,
+                  adaptive: bool = False):
     """Grid over y = 1..H-1 (program_id 0 = y-1). Shapes (L = 5B lanes):
       s_ref       (1, L)        per-lane strength
       bleed_ref   (1, 1)        SMEM
@@ -184,7 +185,7 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
         # all carries are (8, L) pixel blocks; channel-independent math
         # runs once on the whole block (channels on sublanes) and only the
         # histogram-coupled selection runs per channel
-        left8, prev_above, prev_orig, prev_oprev, e_hi8, e_lo8 = carry
+        left8, prev_above, prev_orig, prev_oprev, e_hi8, e_lo8, msad = carry
         cmask = (x < wr_ref[:, :]).astype(jnp.int32)        # (1, L)
         orig_px = orig_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         above_px = qprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
@@ -277,6 +278,18 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
 
         qrow_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back8
 
+        if adaptive:
+            # embedding mode (row_filters == NULL): accumulate libpng's
+            # 5 trial MSAD sums of the QUANTIZED row in-scan — every
+            # trial predictor of the quantized neighbors is already at
+            # hand (optimize_state.c:492-562 via adaptive rows)
+            new_msad = []
+            for t, tp in enumerate((None, left8, above_px, avg, paeth)):
+                v = (back8 if tp is None else (back8 - tp)) & 0xFF
+                v = jnp.where(v < 128, v, 256 - v)
+                new_msad.append(msad[t] + v * cmask)
+            msad = tuple(new_msad)
+
         # ---- channel-batched derivative error (optimize_state.c:265-289)
         # accumulated per (channel-row, lane) with the exact /128 split —
         # the identity sum(e) = 128*sum(e>>7) + sum(e&127) holds for any
@@ -331,11 +344,12 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
         rmw(e1n_s, x + 2, threes8)
         rmw(e1n_s, x + 3, twos8)
 
-        return (back8, above_px, orig_px, oprev_px, e_hi8, e_lo8)
+        return (back8, above_px, orig_px, oprev_px, e_hi8, e_lo8, msad)
 
     z8 = jnp.zeros((STRIDE, l5), jnp.int32)
-    _, _, _, _, e_hi8, e_lo8 = lax.fori_loop(
-        0, w, body, (z8, z8, z8, z8, z8, z8))
+    msad0 = tuple(z8 for _ in range(NUM_FILTERS)) if adaptive else ()
+    _, _, _, _, e_hi8, e_lo8, msad = lax.fori_loop(
+        0, w, body, (z8, z8, z8, z8, z8, z8, msad0))
     e_hi = jnp.sum(e_hi8, axis=0, keepdims=True)
     e_lo = jnp.sum(e_lo8, axis=0, keepdims=True)
 
@@ -347,6 +361,19 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     total_cost = jnp.sum(counts * bits, axis=0, keepdims=True)   # (1, L)
 
     cost = total_cost + e_hi + (e_lo >> 7)
+    passing = None
+    if adaptive:
+        # first-minimum argmin over the 5 trial sums (the C >= cascade
+        # resolves ties to the earliest filter): pack sum*8 + t and min
+        sums = [jnp.sum(m, axis=0, keepdims=True) for m in msad]
+        best = sums[0] * 8
+        for t in range(1, NUM_FILTERS):
+            best = jnp.minimum(best, sums[t] * 8 + t)
+        passing = ((best & 7) == f_lane).astype(jnp.int32)
+        # a failing filter costs UINTMAX_MAX (optimize_state.c:319-324);
+        # rows where no filter passes are flagged via ok_out and the
+        # whole image is re-run through the per-row fallback path
+        cost = jnp.where(passing > 0, cost, jnp.int32(1 << 30))
     qrow = qrow_s[:, :]
     orig = orig_s[:, :]
 
@@ -377,6 +404,13 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     filt_out_ref[0, :, :] = jnp.dot(
         (maski * f_lane).astype(jnp.bfloat16), e_sel,
         preferred_element_type=jnp.float32).astype(jnp.int32)
+    if adaptive:
+        # per-image count of passing filters (0 = this row failed)
+        ok_out_ref[0, :, :] = jnp.dot(
+            passing.astype(jnp.bfloat16), e_sel,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+    else:
+        ok_out_ref[0, :, :] = jnp.ones_like(ok_out_ref[0, :, :])
     hist_s[:, :] = _roll_bcast(maski * (hw >> 8), b)
 
     def bcast_into(dst, masked):
@@ -453,17 +487,21 @@ def max_batch_image(w: int, bpp: int, band_pad: int = 0,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w", "h", "bpp", "b", "table", "interpret", "wmax"))
+    "w", "h", "bpp", "b", "table", "interpret", "wmax", "adaptive"))
 def image_rows_pallas(s5, bleed, wr5, rank5, orig_rows, qprev0, oprev0, e00,
                       e10, hist0, *, w: int, h: int, bpp: int, b: int,
-                      table: int, interpret: bool = False, wmax: int = 0):
+                      table: int, interpret: bool = False, wmax: int = 0,
+                      adaptive: bool = False):
     """Run rows 1..H-1 in one kernel. orig_rows: (H-1, 8W, B) un-tiled
     original rows 1..H-1 (the kernel replicates to L lanes itself); the
     row-0 winner state seeds the scratch. wr5: (1, L) per-lane real widths
     (ragged batching). wmax: 0 = dense 256-row selection; a positive value
     compiles the rotated-window fast path (every lane's strength must be
-    <= wmax). Returns (qrows (H-1, 8W, B) winner rows,
-    filters (H-1, 1, B))."""
+    <= wmax). adaptive: embedding-mode speculation — every row runs the
+    libpng MSAD self-check; failing filters cost ~inf and rows where no
+    filter passes report ok == 0. Returns (qrows (H-1, 8W, B) winner
+    rows, filters (H-1, 1, B), ok (H-1, 1, B) passing-filter counts,
+    all-ones when not adaptive)."""
     l5 = NUM_FILTERS * b
     rows_px = STRIDE * w
     rows_e = STRIDE * (w + 5)
@@ -474,9 +512,11 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig_rows, qprev0, oprev0, e00,
     out_shapes = (
         jax.ShapeDtypeStruct((n, rows_px, b), jnp.int32),
         jax.ShapeDtypeStruct((n, 1, b), jnp.int32),
+        jax.ShapeDtypeStruct((n, 1, b), jnp.int32),
     )
     kernel = functools.partial(
-        _image_kernel, w=w, bpp=bpp, b=b, table=table, wmax=wmax)
+        _image_kernel, w=w, bpp=bpp, b=b, table=table, wmax=wmax,
+        adaptive=adaptive)
     vmem_bytes = vmem_limit_bytes()
     return pl.pallas_call(
         kernel,
@@ -494,6 +534,8 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig_rows, qprev0, oprev0, e00,
         ],
         out_specs=(
             pl.BlockSpec((1, rows_px, b), lambda y: (y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, b), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),

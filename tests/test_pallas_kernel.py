@@ -140,3 +140,41 @@ def test_bleed1_tall_image_routes_to_xla(monkeypatch):
     rows = rng.integers(0, 256, size=(1, 6, 3), dtype=np.uint8)
     optimize_batch_pallas(rows, 19, 1, bpp=1)
     assert not calls
+
+
+def test_embedding_speculation_and_fallback(monkeypatch):
+    """Embedding mode (optimizeForAverageFilter) speculates rows at full
+    strength through the whole-image kernel with the MSAD self-check
+    in-kernel; images where some row had no passing filter re-run through
+    the per-row fallback path. Both branches must be bit-exact vs the
+    scalar model (seed chosen so the batch mixes ok and failed images)."""
+    from pngloss_tpu.ops import optimize_pallas as OP
+
+    calls = {"embed": 0, "perrow": 0}
+    real_img = OP._optimize_batch_pallas_image_jit
+    real_row = OP._optimize_batch_pallas_jit
+
+    def spy_img(*a, **k):
+        if k.get("adaptive"):
+            calls["embed"] += 1
+        return real_img(*a, **k)
+
+    def spy_row(*a, **k):
+        calls["perrow"] += 1
+        return real_row(*a, **k)
+
+    monkeypatch.setattr(OP, "_optimize_batch_pallas_image_jit", spy_img)
+    monkeypatch.setattr(OP, "_optimize_batch_pallas_jit", spy_row)
+
+    rng = np.random.default_rng(700)     # probed: ok = [F, T, F, F]
+    rows = rng.integers(0, 256, size=(4, 6, 7 * 3), dtype=np.uint8)
+    _check(rows, 3, 45, use_row_filters=False)
+    assert calls["embed"] >= 1, "speculative image path not taken"
+    assert calls["perrow"] >= 1, "fallback per-row path not taken"
+
+    calls["embed"] = calls["perrow"] = 0
+    rng = np.random.default_rng(711)     # probed: every image passes
+    rows = rng.integers(0, 256, size=(4, 6, 7 * 3), dtype=np.uint8)
+    _check(rows, 3, 45, use_row_filters=False)
+    assert calls["embed"] >= 1
+    assert calls["perrow"] == 0, "no-fallback batch must not re-run"
