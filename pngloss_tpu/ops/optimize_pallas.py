@@ -152,7 +152,7 @@ def _rank_tables(ofreq):
 
 def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
                  hist, ofreq5, *, w, bpp, b, table, interpret, packed,
-                 w_real=None):
+                 w_real=None, wmax=0):
     """One strength attempt for the whole batch. Returns per-filter results
     plus (5, B) cost and validity. w_real: optional (B,) real widths of
     padded rows (ragged batching)."""
@@ -175,7 +175,8 @@ def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
         _tile5(s_vec), bleed, _tile5(_to_stride8(orow_t, w, bpp)),
         _tile5(_to_stride8(qprev_t, w, bpp)),
         _tile5(e0), _tile5(e1), hist_in5, ofreq5, wr5,
-        w=w, bpp=bpp, b=b, table=table, interpret=interpret, packed=packed)
+        w=w, bpp=bpp, b=b, table=table, interpret=interpret,
+        packed=packed, wmax=wmax)
     qrow5 = _from_stride8(qrow8, w, bpp)
     if packed:
         counts = (hist5[:256] - hist_in5[:256]) >> 8
@@ -209,7 +210,7 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                             interpret: bool = False,
                             return_carry: bool = False,
                             ofreq_rows=None, ofreq=None,
-                            w_real=None, h_real=None):
+                            w_real=None, h_real=None, wmax: int = 0):
     """Optimize a batch in transposed layout.
 
     rows_t: (H, W*bpp, B) int32. Returns (qrows_t (H, W*bpp, B) int32,
@@ -223,10 +224,10 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
     h, wb, b = rows_t.shape
     w = wb // bpp
     packed = h * w * bpp < PACKED_KEY_MAX_SAMPLES
-    # packed mode uses the modular 256-row table (strength-independent —
-    # one compiled program serves every strength); the non-packed fallback
-    # keeps the extended table
-    table = 256 if packed else 256 + band_pad
+    # both modes use the modular 256-row table (the window wraps in offset
+    # space, u = (t - start) mod 256) — strength-independent, so one
+    # compiled program per shape serves every strength
+    table = 256
 
     # original-residual histograms (ranks thereof in packed mode),
     # extended-table, filter-major lanes — ALWAYS over the whole image
@@ -246,9 +247,9 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                 b, src_rows.shape[0], w, bpp), bpp,
             w_real, h_real, interpret=interpret)           # (B, 5, 256)
     if packed:
-        ofreq_ext = jax.vmap(_rank_tables)(ofreq)   # modular: no extension
+        ofreq_ext = jax.vmap(_rank_tables)(ofreq)   # rank payload
     else:
-        ofreq_ext = jnp.concatenate([ofreq, ofreq[:, :, :band_pad]], axis=2)
+        ofreq_ext = ofreq                           # raw second-level freqs
     ofreq5 = jnp.transpose(ofreq_ext, (2, 1, 0)).reshape(table, NUM_FILTERS * b)
 
     strength = jnp.asarray(strength, jnp.int32)
@@ -269,7 +270,7 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                 s_vec[None, :], bleed, adaptive, orow_t, oprev_t, qprev_t,
                 e0, e1, hist, ofreq5,
                 w=w, bpp=bpp, b=b, table=table, interpret=interpret,
-                packed=packed, w_real=w_real)
+                packed=packed, w_real=w_real, wmax=wmax)
             found_real = jnp.any(ok, axis=0)                   # (B,)
             # where C would abort ("no good row" at strength 0,
             # pngloss_image.c:268), accept the min-cost row
@@ -394,7 +395,8 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
     q0, f0, carry = optimize_batch_pallas_t(
         rows_t[:1], strength, bleed, bpp=bpp, band_pad=band_pad,
         use_row_filters=not adaptive, interpret=interpret,
-        return_carry=True, ofreq=ofreq, w_real=w_real, h_real=h_real)
+        return_carry=True, ofreq=ofreq, w_real=w_real, h_real=h_real,
+        wmax=wmax)
     qprev_t, oprev_t, e0, e1, hist = carry
 
     s_vec = jnp.broadcast_to(strength, (1, b)).astype(jnp.int32)
@@ -425,16 +427,16 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bpp", "band_pad", "use_row_filters", "interpret"))
+    "bpp", "band_pad", "use_row_filters", "interpret", "wmax"))
 def _optimize_batch_pallas_jit(rows, strength, bleed, w_real=None,
                                h_real=None, *, bpp, band_pad,
-                               use_row_filters, interpret):
+                               use_row_filters, interpret, wmax=0):
     b, h, wb = rows.shape
     rows_t = jnp.transpose(rows.astype(jnp.int32), (1, 2, 0))   # (H, Wb, B)
     qrows_t, filters = optimize_batch_pallas_t(
         rows_t, strength, bleed, bpp=bpp, band_pad=band_pad,
         use_row_filters=use_row_filters, interpret=interpret,
-        w_real=w_real, h_real=h_real)
+        w_real=w_real, h_real=h_real, wmax=wmax)
     q = jnp.transpose(qrows_t, (2, 0, 1)).astype(jnp.uint8)     # (B, H, Wb)
     return q, jnp.transpose(filters, (1, 0))
 
@@ -446,7 +448,8 @@ def max_batch_for(w: int, bpp: int, band_pad: int,
     # throughput saturates around B=64 for 512-wide RGB rows
     """Largest per-kernel batch that fits the VMEM budget (all kernel
     operands are int32; 5B-lane arrays dominate)."""
-    table = 256 + band_pad
+    del band_pad   # modular table: strength-independent
+    table = 256
     wb = w * bpp
     # every kernel operand is 5B lanes x int32: orig+qprev+qrow = 3 row
     # buffers, 5 dither buffers (e0, e1, e0n, e1n, err0 scratch), hist +
@@ -504,11 +507,11 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
     if band_pad is None:
         s_max = int(np.max(strength)) if per_image else int(strength)
         band_pad = band_pad_for(s_max)
-    if rows.shape[1] * wb < PACKED_KEY_MAX_SAMPLES:
-        # packed mode uses the modular 256-row table: band_pad never
-        # reaches the kernel, so normalize it out of the jit cache key —
-        # ONE compiled program per shape serves every strength
-        band_pad = 0
+    # the Pallas kernels use the modular 256-row table in both packed
+    # and non-packed modes: band_pad never reaches them, so normalize it
+    # out of the jit cache key — ONE compiled program per shape serves
+    # every strength
+    band_pad = 0
     s_arr = (jnp.asarray(strength, jnp.int32) if per_image
              else jnp.int32(strength))
     if ragged:
@@ -545,7 +548,8 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
         return _optimize_batch_pallas_jit(
             part, s_part, jnp.int32(bleed), wr, hr,
             bpp=bpp, band_pad=band_pad,
-            use_row_filters=use_row_filters, interpret=interpret)
+            use_row_filters=use_row_filters, interpret=interpret,
+            wmax=wmax)
 
     def _run_embed(part, s_part, wr=None, hr=None):
         q, f, ok = _optimize_batch_pallas_image_jit(

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pngloss_tpu.ops.pallas_row import (
     NUM_FILTERS,
     STRIDE,
+    _rotated_window,
     _tdiv,
     _tdiv_pos,
     _tdiv_shift,
@@ -55,45 +56,6 @@ def _roll_bcast(x, b: int):
     for k in range(1, NUM_FILTERS):
         out = out + pltpu.roll(x, k * b, axis=1)
     return out
-
-
-def _rot_rows(wmax: int) -> int:
-    """Rows of the rotated window table for a max band width wmax: valid
-    rows [0, wmax] must survive the three sub-vreg roll stages (which
-    consume up to 4+2+1 rows of tail validity), 8-aligned."""
-    return -(-(wmax + 9) // 8) * 8
-
-
-def _rotated_window(hist, start, wmax: int):
-    """Per-lane barrel rotation: returns a (_rot_rows(wmax), L) table whose
-    row u holds hist[(start + u) & 0xFF] (valid for u <= wmax).
-
-    The VPU has no per-lane dynamic gather, so the banded symbol window
-    cannot be sliced out of the 256-row table directly — but a rotation by
-    a per-lane amount decomposes into 8 CONDITIONAL static shifts (one per
-    bit of `start`), and after the bit-7 stage the remaining rotation is
-    bounded, so each later stage operates on a progressively TRUNCATED
-    array: 256 -> 120+n3 -> 56+n3 -> 24+n3 -> 8+n3 -> n3 rows (n3 ~ wmax+9).
-    Stages for bits >= 3 are 8-aligned static slices (free) + one select;
-    bits 2..0 are static sub-vreg rolls + selects on the final small array.
-    Total sweep work is ~(wmax+9)/256 of the dense path's for the
-    selection reductions, plus the ~4 dense-row-equivalents paid here."""
-    n3 = _rot_rows(wmax)
-    n4, n5, n6, n7 = n3 + 8, n3 + 24, n3 + 56, n3 + 120
-
-    def bit(k):
-        return (start >> k) & 1
-
-    x = jnp.where(bit(7) > 0, pltpu.roll(hist, 256 - 128, axis=0), hist)[:n7]
-    x = jnp.where(bit(6) > 0, x[64:64 + n6], x[:n6])
-    x = jnp.where(bit(5) > 0, x[32:32 + n5], x[:n5])
-    x = jnp.where(bit(4) > 0, x[16:16 + n4], x[:n4])
-    x = jnp.where(bit(3) > 0, x[8:8 + n3], x[:n3])
-    for k in (2, 1, 0):
-        # circular roll: rows wrapped from the top are garbage, but they
-        # land at indices > wmax, which the width mask never selects
-        x = jnp.where(bit(k) > 0, pltpu.roll(x, n3 - (1 << k), axis=0), x)
-    return x
 
 
 def _bitlength(n):

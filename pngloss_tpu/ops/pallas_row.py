@@ -17,9 +17,13 @@ row). All row composition uses row-index-iota `where` selects
 (concatenate/scatter/.at are not Mosaic-lowerable here).
 
 The banded symbol search (optimize_state.c:183-248) runs as dense masked
-max/max/membership reductions along the TABLE sublane axis over an extended
-histogram table (TABLE = 256 + band_pad, hist[t] == hist[t & 0xFF]), so the
-dynamic band position needs no gather and no dynamic slice.
+max/min reductions along the TABLE sublane axis over the MODULAR 256-row
+histogram table: u = (t - start) mod 256 linearizes the band in offset
+space (min-u is the C scan-order tie-break), so the dynamic band position
+needs no gather, no dynamic slice, and no extended rows — in packed mode
+the two levels + orig-preference fold into one max + one min over packed
+keys; in non-packed mode (big images past the packed-key range) freq and
+ofreq are compared as separate max levels.
 
 Integer division by runtime divisors (band modulus, bleed divider) has no
 TPU hardware op; it is an f32 reciprocal multiply with two exact integer
@@ -88,10 +92,50 @@ def _tdiv_shift(a, k: int):
     return jnp.where(a < 0, -q, q)
 
 
+def _rot_rows(wmax: int) -> int:
+    """Rows of the rotated window table for a max band width wmax: valid
+    rows [0, wmax] must survive the three sub-vreg roll stages (which
+    consume up to 4+2+1 rows of tail validity), 8-aligned."""
+    return -(-(wmax + 9) // 8) * 8
+
+
+def _rotated_window(hist, start, wmax: int):
+    """Per-lane barrel rotation: returns a (_rot_rows(wmax), L) table whose
+    row u holds hist[(start + u) & 0xFF] (valid for u <= wmax).
+
+    The VPU has no per-lane dynamic gather, so the banded symbol window
+    cannot be sliced out of the 256-row table directly — but a rotation by
+    a per-lane amount decomposes into 8 CONDITIONAL static shifts (one per
+    bit of `start`), and after the bit-7 stage the remaining rotation is
+    bounded, so each later stage operates on a progressively TRUNCATED
+    array: 256 -> 120+n3 -> 56+n3 -> 24+n3 -> 8+n3 -> n3 rows (n3 ~ wmax+9).
+    Stages for bits >= 3 are 8-aligned static slices (free) + one select;
+    bits 2..0 are static sub-vreg rolls + selects on the final small array.
+    Total sweep work is ~(wmax+9)/256 of the dense path's for the
+    selection reductions, plus the ~4 dense-row-equivalents paid here."""
+    n3 = _rot_rows(wmax)
+    n4, n5, n6, n7 = n3 + 8, n3 + 24, n3 + 56, n3 + 120
+
+    def bit(k):
+        return (start >> k) & 1
+
+    x = jnp.where(bit(7) > 0, pltpu.roll(hist, 256 - 128, axis=0), hist)[:n7]
+    x = jnp.where(bit(6) > 0, x[64:64 + n6], x[:n6])
+    x = jnp.where(bit(5) > 0, x[32:32 + n5], x[:n5])
+    x = jnp.where(bit(4) > 0, x[16:16 + n4], x[:n4])
+    x = jnp.where(bit(3) > 0, x[8:8 + n3], x[:n3])
+    for k in (2, 1, 0):
+        # circular roll: rows wrapped from the top are garbage, but they
+        # land at indices > wmax, which the width mask never selects
+        x = jnp.where(bit(k) > 0, pltpu.roll(x, n3 - (1 << k), axis=0), x)
+    return x
+
+
+
 def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 hist_ref, ofreq_ref, qrow_ref, hist_out_ref, e0n_ref, e1n_ref,
                 err0_ref, *, w: int, bpp: int, b: int, table: int,
-                packed: bool = False):
+                packed: bool = False, wmax: int = 0):
     """See module docstring. Shapes (L = 5B lanes, filter-major; S = 8):
       s_ref               : (1, L)        int32  per-lane strength
       bleed_ref           : (1, 1)        int32  (SMEM)
@@ -197,44 +241,48 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             mn = jnp.where(over, 255 - predw, jnp.where(under, -predw, mn))
             mx = jnp.where(over, 255 - predw, jnp.where(under, -predw, mx))
 
-            # dense masked lexicographic selection (optimize_state.c:212-248)
+            # masked lexicographic selection (optimize_state.c:212-248)
+            # over the MODULAR window u = (t - start) mod 256; with wmax
+            # set, the barrel rotation shrinks the swept rows to ~wmax+9
             start = mn & 0xFF
             hist = hist_out_ref[:, :]
+            width = mx - mn                        # <= 255 after clamping
+            u_orig = osym - mn                     # in [0, width] iff orig
+            if wmax:
+                uu = lax.broadcasted_iota(
+                    jnp.int32, (_rot_rows(wmax), 1), 0)
+                hist_w = _rotated_window(hist, start, wmax)
+            else:
+                uu = (iota_t - start) & 0xFF
+                hist_w = hist
+            m1 = uu <= width
             if packed:
                 # hist holds the PACKED key freq*256 + rank(ofreq): one
                 # max-reduce replaces the two-level (freq, ofreq) compare,
-                # and remapping the original symbol's offset to -1 folds the
-                # third tie-break into the min-reduce — 2 reductions/channel
-                # instead of 4. Valid while freq < 2^23 (checked by caller).
-                # MODULAR window: u = (t - start) mod 256 linearizes the
-                # band in offset space, so the table is exactly 256 rows
-                # (no extension) and the scan-order tie-break is min-u.
-                u = (iota_t - start) & 0xFF
-                width = mx - mn                    # <= 255 after clamping
-                u_orig = osym - mn                 # in [0, width] iff orig
-                masked = jnp.where(u <= width, hist, -1)   # symbol in band
+                # and remapping the original symbol's offset to -1 folds
+                # the third tie-break into the min-reduce — 2 reductions
+                # per channel instead of 4. Valid while freq < 2^23
+                # (checked by the caller).
+                masked = jnp.where(m1, hist_w, -1)
                 kmax = jnp.max(masked, axis=0, keepdims=True)
-                u_adj = jnp.where(u == u_orig, -1, u)
-                sel = jnp.min(jnp.where(masked == kmax, u_adj, 256),
-                              axis=0, keepdims=True)
-                u_best = jnp.where(sel < 0, u_orig, sel)
-                sym_byte = (start + u_best) & 0xFF
-                back_c = u_best + mn + predw
+                m3 = masked == kmax
             else:
-                idx_orig = start + (osym - mn)
-                ofr = ofreq_ref[:, :]
-                inband = (iota_t >= start) & (iota_t <= start + (mx - mn))
-                fmax = jnp.max(jnp.where(inband, hist, -1), axis=0, keepdims=True)
-                m2 = inband & (hist == fmax)
-                omax = jnp.max(jnp.where(m2, ofr, -1), axis=0, keepdims=True)
-                m3 = m2 & (ofr == omax)
-                any_orig = jnp.max(
-                    jnp.where(m3 & (iota_t == idx_orig), 1, 0),
-                    axis=0, keepdims=True)
-                idx_min = jnp.min(jnp.where(m3, iota_t, table), axis=0, keepdims=True)
-                idx_best = jnp.where(any_orig > 0, idx_orig, idx_min)
-                sym_byte = idx_best & 0xFF
-                back_c = (idx_best - start) + mn + predw
+                # big images whose freq counts exceed the packed-key
+                # range: freq and ofreq compared as separate max levels
+                ofr_w = (_rotated_window(ofreq_ref[:, :], start, wmax)
+                         if wmax else ofreq_ref[:, :])
+                fmax = jnp.max(jnp.where(m1, hist_w, -1),
+                               axis=0, keepdims=True)
+                m2 = m1 & (hist_w == fmax)
+                omax = jnp.max(jnp.where(m2, ofr_w, -1),
+                               axis=0, keepdims=True)
+                m3 = m2 & (ofr_w == omax)
+            u_adj = jnp.where(uu == u_orig, -1, uu)
+            sel = jnp.min(jnp.where(m3, u_adj, 256),
+                          axis=0, keepdims=True)
+            u_best = jnp.where(sel < 0, u_orig, sel)
+            sym_byte = (start + u_best) & 0xFF
+            back_c = u_best + mn + predw
 
             if bpp % 2 == 0 and c == bpp - 1:
                 # fully transparent pixels stay transparent; the emitted
@@ -244,14 +292,9 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 here_c = jnp.where(transp, 0, here_c)
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
-            if packed:
-                # modular table: exactly one row matches (table == 256)
-                inc = (iota_t == sym_byte) * cmask
-                hist_out_ref[:, :] = hist + inc * 256
-            else:
-                # extended table: keep mirror rows in sync
-                inc = ((iota_t & 0xFF) == sym_byte) * cmask
-                hist_out_ref[:, :] = hist + inc
+            # modular table: exactly one row matches (table == 256)
+            inc = (iota_t == sym_byte) * cmask
+            hist_out_ref[:, :] = hist + inc * (256 if packed else 1)
             backs.append(back_c)
             heres.append(here_c)
 
@@ -314,10 +357,12 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "bpp", "b", "table", "interpret", "packed"))
+    jax.jit, static_argnames=(
+        "w", "bpp", "b", "table", "interpret", "packed", "wmax"))
 def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5,
                        wr5=None, *, w: int, bpp: int, b: int, table: int,
-                       interpret: bool = False, packed: bool = False):
+                       interpret: bool = False, packed: bool = False,
+                       wmax: int = 0):
     """Quantize one row for B images x 5 filters. Array inputs are pre-tiled
     to L = 5B filter-major lanes and pixel/column-indexed arrays use the
     8-sublane stride layout. In packed mode hist5 carries freq*256+rank
@@ -336,7 +381,7 @@ def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5,
         jax.ShapeDtypeStruct((rows_e, l5), jnp.int32),
     )
     kernel = functools.partial(_row_kernel, w=w, bpp=bpp, b=b, table=table,
-                               packed=packed)
+                               packed=packed, wmax=wmax)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # operand footprint (everything int32, 5B lanes): 3 pixel buffers,

@@ -178,3 +178,18 @@ def test_embedding_speculation_and_fallback(monkeypatch):
     _check(rows, 3, 45, use_row_filters=False)
     assert calls["embed"] >= 1
     assert calls["perrow"] == 0, "no-fallback batch must not re-run"
+
+
+def test_nonpacked_big_image_path(monkeypatch):
+    """Images past the packed-key int32 range use the per-row kernel's
+    non-packed (3-level extended-table) selection. Force that branch on
+    small images by shrinking the sample threshold and pin it against the
+    scalar model across bpp/strength/bleed."""
+    from pngloss_tpu.ops import optimize_pallas as OP
+
+    monkeypatch.setattr(OP, "PACKED_KEY_MAX_SAMPLES", 1)
+    rng = np.random.default_rng(80)
+    for bpp, strength, bleed in ((3, 19, 2), (1, 40, 2), (4, 200, 1),
+                                 (2, 7, 17)):
+        rows = rng.integers(0, 256, size=(2, 5, 6 * bpp), dtype=np.uint8)
+        _check(rows, bpp, strength, bleed)

@@ -121,3 +121,19 @@ def test_compiled_full_strength_domain(oracle, suite_dir):
     bad = [s for s, r in zip(strengths, outs)
            if r.unwrap() != run_oracle(oracle, rose, s)]
     assert not bad, bad
+
+
+@requires_tpu
+def test_compiled_nonpacked_parity(oracle, suite_dir, monkeypatch):
+    """The non-packed (big-image) 3-level modular selection COMPILED on
+    the chip: shrink the packed-key threshold so rose.png takes the
+    branch real 8+ MP images take (interpret mode is not proof)."""
+    _tpu_or_skip()
+    from pngloss_tpu.ops import optimize_pallas as OP
+    from pngloss_tpu.suite import run_suite
+
+    monkeypatch.setattr(OP, "PACKED_KEY_MAX_SAMPLES", 1)
+    paths = [os.path.join(suite_dir, "rose.png")]
+    results, summary = run_suite(paths, [19, 40], oracle=oracle,
+                                 verbose=False)
+    assert summary["all_byte_identical"], results
