@@ -77,9 +77,14 @@ def random_case(rng):
 
 
 def run_worker(seed: int, cases: int, out_path: str | None,
-               oracle: str) -> int:
+               oracle: str, impl: str = "auto") -> int:
     """Run `cases` randomized cases as ONE ragged mixed-strength batch
-    through compress_many; oracle-compare each. Returns mismatch count."""
+    through compress_many; oracle-compare each. Returns mismatch count.
+
+    impl="pallas" runs the Pallas kernels in interpreter mode on the CPU
+    backend — same trace as the compiled TPU programs — so the kernel
+    paths (rotated window, image kernel, per-row fallback) get fuzzed
+    too, not just the XLA path. Slower: use small --cases for it."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -97,7 +102,7 @@ def run_worker(seed: int, cases: int, out_path: str | None,
         pngs.append(encode(rgba, row_filters=None))
         strengths.append(strength)
 
-    results = compress_many(pngs, strengths, bleed)
+    results = compress_many(pngs, strengths, bleed, impl=impl)
 
     mismatches = 0
     recs = []
@@ -145,7 +150,7 @@ def run_driver(args) -> int:
                     (args.total - done) if args.total else args.cycle_cases)
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--seed", str(seed), "--cases", str(cases),
-               "--oracle", oracle]
+               "--oracle", oracle, "--impl", args.impl]
         if args.out:
             cmd += ["--out", args.out]
         r = subprocess.run(cmd, env=env)
@@ -181,13 +186,18 @@ def main() -> None:
                          "cycled to dodge the CPU-JAX LLVM OOM)")
     ap.add_argument("--out", default=None, help="JSONL output path")
     ap.add_argument("--oracle", default=DEFAULT_ORACLE)
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="pallas = fuzz the kernel paths in interpreter "
+                         "mode (slow; use small --cases/--cycle-cases)")
     args = ap.parse_args()
     if not args.worker and not args.total and not args.duration:
         args.total = 1024
     if args.worker:
         sys.path.insert(0, REPO)
         sys.exit(min(run_worker(args.seed, args.cases, args.out,
-                                build_oracle(args.oracle)), 120))
+                                build_oracle(args.oracle),
+                                impl=args.impl), 120))
     sys.exit(run_driver(args))
 
 
