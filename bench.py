@@ -73,9 +73,16 @@ def _store_calib(calib: dict) -> None:
 
 def _cluster_slope(slopes: list[float]) -> float:
     """Median of the trials within CLUSTER_FACTOR of the minimum: the
-    steady-state rate, robust to one lucky minimum AND to tail outliers."""
-    lo = min(slopes)
-    cluster = sorted(s for s in slopes if s <= lo * CLUSTER_FACTOR)
+    steady-state rate, robust to one lucky minimum AND to tail outliers.
+    Non-positive slopes (a noisy t(1) exceeding t(4) — the tunnel's 3-4x
+    run-to-run noise makes this reachable) are discarded first; if every
+    trial was garbage, fall back to the largest observation so the caller
+    reports a pessimistic-but-finite rate instead of crashing."""
+    pos = [s for s in slopes if s > 0]
+    if not pos:
+        return max(max(slopes), 1e-9)
+    lo = min(pos)
+    cluster = sorted(s for s in pos if s <= lo * CLUSTER_FACTOR)
     return cluster[len(cluster) // 2]
 
 

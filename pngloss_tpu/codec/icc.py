@@ -274,14 +274,15 @@ def _clut_tetrahedral(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
 
 def _parse_mft(tag: bytes):
     """'mft1'/'mft2' (lut8/lut16Type) -> (in_tables (3,N), clut
-    (g,g,g,3), out_tables (3,M), matrix 3x3) or None."""
+    (g,g,g,3), out_tables (3,M)) or None. The tag's 3x3 matrix is not
+    parsed: it applies only when the input space is XYZ (ICC.1
+    10.8/10.9) and these profiles are device-RGB on the input side."""
     sig = tag[:4]
     if len(tag) < 52 or tag[8] != 3 or tag[9] != 3:
         return None                       # 3-in/3-out only (RGB -> PCS)
     grid = tag[10]
     if grid < 2:
         return None
-    mat = np.array([_s15f16(tag, 12 + 4 * i) for i in range(9)]).reshape(3, 3)
     if sig == b"mft1":
         n_in = n_out = 256
         off = 48
@@ -303,7 +304,7 @@ def _parse_mft(tag: bytes):
     off += width * grid ** 3 * 3
     out_t = np.frombuffer(tag, dt, count=3 * n_out, offset=off).reshape(
         3, n_out).astype(np.float64) / scale
-    return in_t, clut, out_t, mat
+    return in_t, clut, out_t
 
 
 def _parse_mab_curves(tag: bytes, off: int, n: int):
@@ -358,6 +359,8 @@ def _parse_mab(tag: bytes):
             return None
         g = grid[0]
         prec = tag[oclut + 16]
+        if prec not in (1, 2):
+            return None          # ICC.1 allows only 8- or 16-bit CLUTs
         dt, scale = ((np.uint8, 255.0) if prec == 1 else (">u2", 65535.0))
         count = g ** 3 * 3
         if oclut + 20 + count * prec > len(tag) or g < 2:
@@ -406,11 +409,9 @@ def parse_a2b(profile: bytes):
         parsed = _parse_mft(tag)
         if parsed is None:
             return None
-        in_t, clut, out_t, mat = parsed
+        in_t, clut, out_t = parsed
 
-        def pipeline(x, sig=sig):
-            # the mft matrix applies only when the input space is XYZ
-            # (ICC.1 10.8/10.9) — identity for device RGB input
+        def pipeline(x):
             x = _interp_curve_tables(in_t, x)
             x = _clut_tetrahedral(clut, x)
             return _interp_curve_tables(out_t, x)

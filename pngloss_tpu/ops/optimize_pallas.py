@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pngloss_tpu.ops.optimize import _original_frequencies, band_pad_for
+from pngloss_tpu.ops.optimize import band_pad_for
 from pngloss_tpu.ops.pallas_row import STRIDE, row_attempt_pallas
 
 NUM_FILTERS = 5

@@ -58,6 +58,14 @@ def optimize_batch_sharded(rows: np.ndarray, strength, bleed: int = 2, *,
     """
     from pngloss_tpu.ops import optimize_batch_auto
 
+    # _tdiv_pos exactness guard (pallas_row.py): inside shard_map the rows
+    # are tracers, so optimize_batch_pallas cannot apply its own bleed==1
+    # tall-image reroute — decide here, host-side, where shapes and bleed
+    # are concrete, and force the exact-int-division XLA path
+    hops = rows.shape[1] + rows.shape[2] // bpp // 3
+    if impl != "xla" and int(bleed) == 1 and hops > 4000:
+        impl = "xla"
+
     if mesh is None:
         mesh = data_mesh()
     n_dev = mesh.devices.size

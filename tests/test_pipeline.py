@@ -145,3 +145,30 @@ def test_compress_many_all_inputs_bad():
 
     results = compress_many([b"junk", b"also junk"], strength=[19, 40])
     assert all(r.error is not None and r.data is None for r in results)
+
+
+def test_sharded_bleed1_tall_image_uses_xla(monkeypatch):
+    """Inside shard_map the rows are tracers, so the Pallas-side bleed==1
+    exactness reroute cannot fire — optimize_batch_sharded must force the
+    XLA path host-side (see pallas_row.py:_tdiv_pos)."""
+    import jax
+    import numpy as np
+
+    from pngloss_tpu import ops as ops_pkg
+    from pngloss_tpu.parallel.mesh import data_mesh, optimize_batch_sharded
+
+    impls = []
+    real = ops_pkg.optimize_batch_auto
+
+    def spy(*a, **k):
+        impls.append(k.get("impl"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(ops_pkg, "optimize_batch_auto", spy)
+    mesh = data_mesh(jax.devices("cpu")[:2])
+    rng = np.random.default_rng(5)
+    rows = rng.integers(0, 256, size=(2, 4100, 3), dtype=np.uint8)
+    q, f = optimize_batch_sharded(rows, 19, bleed=1, bpp=1, mesh=mesh,
+                                  impl="pallas")
+    assert impls and all(i == "xla" for i in impls)
+    assert q.shape == rows.shape

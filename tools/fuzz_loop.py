@@ -37,6 +37,15 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_ORACLE = "/tmp/pngloss_oracle/pngloss"
+CRASH_EXIT = 125     # worker exit for "died before finishing", not parity
+
+
+def _line_count(path):
+    try:
+        with open(path) as f:
+            return sum(1 for _ in f)
+    except (OSError, TypeError):
+        return 0
 
 
 def build_oracle(path: str = DEFAULT_ORACLE) -> str:
@@ -153,10 +162,20 @@ def run_driver(args) -> int:
                "--oracle", oracle, "--impl", args.impl]
         if args.out:
             cmd += ["--out", args.out]
+        before = _line_count(args.out)
         r = subprocess.run(cmd, env=env)
         if r.returncode < 0:
             print(f"fuzz worker seed={seed} killed by signal "
                   f"{-r.returncode}", file=sys.stderr)
+            return 2
+        if r.returncode >= CRASH_EXIT:
+            print(f"fuzz worker seed={seed} CRASHED (exit "
+                  f"{r.returncode}) — not a parity result", file=sys.stderr)
+            return 2
+        if args.out and _line_count(args.out) - before != cases:
+            print(f"fuzz worker seed={seed} wrote "
+                  f"{_line_count(args.out) - before}/{cases} records — "
+                  "aborting (worker died mid-batch?)", file=sys.stderr)
             return 2
         mismatches += r.returncode
         done += cases
@@ -195,9 +214,15 @@ def main() -> None:
         args.total = 1024
     if args.worker:
         sys.path.insert(0, REPO)
-        sys.exit(min(run_worker(args.seed, args.cases, args.out,
-                                build_oracle(args.oracle),
-                                impl=args.impl), 120))
+        try:
+            n = run_worker(args.seed, args.cases, args.out,
+                           build_oracle(args.oracle), impl=args.impl)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            sys.exit(CRASH_EXIT)
+        sys.exit(min(n, 120))
     sys.exit(run_driver(args))
 
 
