@@ -25,6 +25,10 @@
 #include <string>
 #include <vector>
 
+// fast_deflate.cpp: byte-identical zlib-9/Z_FILTERED clone
+extern "C" int fast_deflate9_filtered(const uint8_t* in, size_t n,
+                                      uint8_t** out_data, size_t* out_len);
+
 namespace {
 
 constexpr uint8_t kSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
@@ -663,29 +667,15 @@ int pl_encode(const uint8_t* rgba, uint32_t w, uint32_t h,
     if (c.location != 8) put_chunk(c.name, c.data.data(), c.data.size());
 
   // filter + deflate (level 9, memLevel 9, Z_FILTERED — rwpng.c:471-472 and
-  // libpng's strategy default when row filtering is in use)
-  z_stream zs{};
-  if (deflateInit2(&zs, 9, Z_DEFLATED, 15, 9, Z_FILTERED) != Z_OK) {
-    g_error = "deflateInit2 failed";
-    return PL_BAD_ARGS;
-  }
-  std::vector<uint8_t> stream;
-  stream.reserve(npix / 2 + 1024);
+  // libpng's strategy default when row filtering is in use). The filtered
+  // scanlines are buffered and compressed in one shot: deflate emits no
+  // flush points under Z_NO_FLUSH, so streamed and one-shot bytes are
+  // identical, and the one-shot form can route through fast_deflate.cpp's
+  // byte-identical level-9 clone (~1.4-3x faster on lossy scanline data).
+  std::vector<uint8_t> filt;
+  filt.reserve(size_t(h) * (rowbytes + 1));
   std::vector<uint8_t> line(rowbytes + 1);
   std::vector<uint8_t> scratch(rowbytes);
-  std::vector<uint8_t> zbuf(1 << 16);
-
-  auto deflate_chunk = [&](const uint8_t* p, size_t n, int flush) {
-    zs.next_in = const_cast<uint8_t*>(p);
-    zs.avail_in = uInt(n);
-    do {
-      zs.next_out = zbuf.data();
-      zs.avail_out = uInt(zbuf.size());
-      deflate(&zs, flush);
-      stream.insert(stream.end(), zbuf.data(),
-                    zbuf.data() + (zbuf.size() - zs.avail_out));
-    } while (zs.avail_out == 0);
-  };
 
   const uint8_t* prev = nullptr;
   for (uint32_t y = 0; y < h; y++) {
@@ -700,11 +690,40 @@ int pl_encode(const uint8_t* rgba, uint32_t w, uint32_t h,
     }
     line[0] = uint8_t(f);
     apply_filter_row(prev, row, f, bpp, rowbytes, line.data() + 1);
-    deflate_chunk(line.data(), rowbytes + 1, Z_NO_FLUSH);
+    filt.insert(filt.end(), line.begin(), line.end());
     prev = row;
   }
-  deflate_chunk(nullptr, 0, Z_FINISH);
-  deflateEnd(&zs);
+
+  std::vector<uint8_t> stream;
+  const char* no_fast = std::getenv("PNGLOSS_NO_FAST_DEFLATE");
+  if (no_fast != nullptr && *no_fast != '\0' && std::strcmp(no_fast, "0")) {
+    // reference path: the system zlib, for debugging/differential checks
+    z_stream zs{};
+    if (deflateInit2(&zs, 9, Z_DEFLATED, 15, 9, Z_FILTERED) != Z_OK) {
+      g_error = "deflateInit2 failed";
+      return PL_BAD_ARGS;
+    }
+    std::vector<uint8_t> zbuf(1 << 16);
+    zs.next_in = filt.data();
+    zs.avail_in = uInt(filt.size());
+    do {
+      zs.next_out = zbuf.data();
+      zs.avail_out = uInt(zbuf.size());
+      deflate(&zs, Z_FINISH);
+      stream.insert(stream.end(), zbuf.data(),
+                    zbuf.data() + (zbuf.size() - zs.avail_out));
+    } while (zs.avail_out == 0);
+    deflateEnd(&zs);
+  } else {
+    uint8_t* zdata = nullptr;
+    size_t zlen = 0;
+    if (fast_deflate9_filtered(filt.data(), filt.size(), &zdata, &zlen) != 0) {
+      g_error = "fast_deflate failed";
+      return PL_BAD_ARGS;
+    }
+    stream.assign(zdata, zdata + zlen);
+    std::free(zdata);
+  }
 
   // libpng's optimize_cmf: claim the smallest deflate window covering the
   // scanline data (pngwutil.c); deflate bytes are unaffected.
