@@ -48,6 +48,10 @@
 #include <cstdlib>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace fastdeflate {
 
 static const int MIN_MATCH = 3, MAX_MATCH = 258;
@@ -207,6 +211,14 @@ struct Compressor {
   std::vector<uint32_t> bucket_start;  // HASH_SIZE + 1 offsets
   std::vector<uint32_t> cnt;           // inserted-so-far per bucket
   std::vector<uint16_t> hash_of;       // hash of each position
+  // single-byte run lengths, saturated at Q_SAT (all decisions compare
+  // against thresholds < 258, so saturation never loses information).
+  // Packed as one u32 per position: forward length (X-run starting at p,
+  // incl. the zero padding past the input, like fill_window's zeroing) in
+  // the low half, backward length (X-run ending at p) in the high half.
+  static const unsigned Q_SAT = 1024;
+  static const long SEG_MIN = 4;  // below this, the scalar walk is cheaper
+  std::vector<uint32_t> qq;
 
   // symbol buffer (one block)
   struct Sym { uint16_t dist; uint8_t lc; };
@@ -252,6 +264,26 @@ struct Compressor {
     entries.resize(m > 1 ? m - 1 : 0);
     std::vector<uint32_t> fill(bucket_start.begin(), bucket_start.end() - 1);
     for (size_t p = 1; p < m; p++) entries[fill[hash_of[p]]++] = (uint32_t)p;
+
+    // run-length array for the segment fast path; the forward half covers
+    // the zero padding so tail runs extend the way zlib's zeroed window
+    // does (reads q at positions < n only, but runs look past n)
+    size_t n_pad = n + MAX_MATCH;
+    qq.assign(n_pad, 0);
+    if (n_pad) {
+      unsigned fwd = 1;
+      qq[n_pad - 1] = 1;
+      for (size_t p = n_pad - 1; p-- > 0;) {
+        fwd = in[p] == in[p + 1] ? (fwd < Q_SAT ? fwd + 1 : Q_SAT) : 1;
+        qq[p] = fwd;
+      }
+      unsigned bwd = 1;
+      qq[0] |= 1u << 16;
+      for (size_t p = 1; p < n; p++) {
+        bwd = in[p] == in[p - 1] ? (bwd < Q_SAT ? bwd + 1 : Q_SAT) : 1;
+        qq[p] |= bwd << 16;
+      }
+    }
   }
 
   // exact deflate_slow fill_window bookkeeping (no data movement needed;
@@ -585,27 +617,234 @@ struct Compressor {
 
   // ---- longest_match over the contiguous bucket array (exact semantics;
   // see header comment for the equivalence argument)
+  //
+  // Segment fast path: zlib's scan_start/scan_end filters are semantics-
+  // free accelerators (any candidate with true length > best_len passes
+  // them), so the walk's outcome is a pure function of the candidate
+  // slice: final best = max(prev best, max length over visited), reported
+  // at the NEWEST candidate attaining it, with the walk cut at the first
+  // candidate reaching `nice`.  For candidates inside a single-byte run
+  // of X (the dominant case on lossy scanline data — 75-81%% of all
+  // visits), the length has a closed form: with qc = X-run length at the
+  // candidate and qs = X-run length at scan,
+  //     len = qc        if qc < qs     (cand run ends first)
+  //         = qs        if qc > qs     (scan run ends first)
+  //         = qs + lcp(scan+qs, cand+qs)   if qc == qs  (one real compare)
+  // and every position [run_start .. run_end-3] hashes to this bucket, so
+  // the run occupies a contiguous slice of the entry array — the whole
+  // segment resolves with index arithmetic + at most one compare.
   unsigned longest_match(unsigned hash_head_unused, unsigned prev_length,
                          unsigned bucket, unsigned inserted) {
     (void)hash_head_unused;
-    unsigned chain_length = MAX_CHAIN;
+    long chain_left =
+        (long)(prev_length >= GOOD_MATCH ? MAX_CHAIN >> 2 : MAX_CHAIN);
     const uint8_t* scan = in + strstart;
     unsigned best_len = prev_length;
-    if (prev_length >= GOOD_MATCH) chain_length >>= 2;
     unsigned nice = NICE_MATCH;
     if ((size_t)nice > lookahead) nice = (unsigned)lookahead;
+    // segments assume nice == 258 (the whole stream except the last
+    // ~258 bytes, where zlib truncates nice to the lookahead)
+    const bool seg_ok = nice == NICE_MATCH;
     uint32_t limit =
         strstart > (size_t)MAX_DIST ? (uint32_t)(strstart - MAX_DIST) : 0;
     uint16_t scan_start;
     memcpy(&scan_start, scan, 2);
     uint16_t scan_end;
     memcpy(&scan_end, scan + best_len - 1, 2);
+    const unsigned scan_byte = in[strstart];
+    const unsigned qs_scan = seg_ok ? (qq[strstart] & 0xFFFF) : 0;
 
     const uint32_t* base = entries.data() + bucket_start[bucket];
     long idx = (long)inserted - 1;  // newest previously-inserted entry
-    do {
+
+    // zlib examines the FIRST candidate (hash_head) unconditionally — the
+    // caller's `strstart - hash_head <= MAX_DIST` gate admits distance ==
+    // MAX_DIST exactly, and the `> limit` cutoff applies only to the
+    // prev[] links that FOLLOW.  Process it scalar before the loop.
+    if (idx >= 0) {
+      uint32_t cur = base[idx];
+      const uint8_t* match = in + cur;
+      uint16_t m_end, m_start;
+      memcpy(&m_end, match + best_len - 1, 2);
+      memcpy(&m_start, match, 2);
+      if (m_end == scan_end && m_start == scan_start) {
+        unsigned len = 2;
+        while (len < MAX_MATCH) {
+          uint64_t a, b;
+          memcpy(&a, scan + len, 8);
+          memcpy(&b, match + len, 8);
+          uint64_t x = a ^ b;
+          if (x) {
+            len += (unsigned)(__builtin_ctzll(x) >> 3);
+            break;
+          }
+          len += 8;
+        }
+        if (len > MAX_MATCH) len = MAX_MATCH;
+        if (len > best_len) {
+          match_start = cur;
+          best_len = len;
+          if (len >= nice) chain_left = 1;  // zlib breaks on update only
+          memcpy(&scan_end, scan + best_len - 1, 2);
+        }
+      }
+      idx--;
+      if (--chain_left == 0) idx = -1;  // walk done
+    }
+
+    while (idx >= 0) {
+#if defined(__AVX512F__)
+      // ---- vectorized stretch: filter 16 candidates with one gather.
+      // The end-filter is a semantics-free accelerator, and a result
+      // computed against a STALE (smaller) best_len stays sound: a
+      // candidate failing the filter at old best b has some byte <= b
+      // differing, so its length <= b <= current best — never an
+      // improvement.  Hits are verified (and ordered) scalar.
+      while (idx >= 18 && chain_left >= 16) {
+        __m512i vpos = _mm512_loadu_si512((const void*)(base + idx - 15));
+        __m512i vpos3 = _mm512_loadu_si512((const void*)(base + idx - 18));
+        // stop lanes: position <= limit, or a run-segment head (3
+        // consecutive positions below it => let the segment collapse it)
+        __mmask16 bad =
+            _mm512_cmple_epu32_mask(vpos, _mm512_set1_epi32((int)limit)) |
+            _mm512_cmpeq_epu32_mask(
+                vpos, _mm512_add_epi32(vpos3, _mm512_set1_epi32(3)));
+        int take = 16;
+        if (bad) {
+          int h = 31 - __builtin_clz((unsigned)bad);  // highest stop lane
+          take = 15 - h;
+          if (take == 0) break;  // stop lane on top: per-entry logic
+        }
+        __mmask16 active = (__mmask16)(0xFFFFu << (16 - take));
+        unsigned o = best_len >= 3 ? best_len - 3 : best_len - 1;
+        uint32_t ref;
+        memcpy(&ref, scan + o, 4);
+        __m512i gat = _mm512_mask_i32gather_epi32(
+            _mm512_setzero_si512(), active, vpos, (const void*)(in + o), 1);
+        __mmask16 hits;
+        if (best_len >= 3) {
+          hits = _mm512_mask_cmpeq_epi32_mask(active, gat,
+                                              _mm512_set1_epi32((int)ref));
+        } else {  // best_len == 2: only bytes 1..2 may be assumed
+          __m512i mask16 = _mm512_set1_epi32(0xFFFF);
+          hits = _mm512_mask_cmpeq_epi32_mask(
+              active, _mm512_and_si512(gat, mask16),
+              _mm512_set1_epi32((int)(ref & 0xFFFF)));
+        }
+        if (hits) {
+          alignas(64) uint32_t posbuf[16];
+          _mm512_storeu_si512((void*)posbuf, vpos);
+          bool brk = false;
+          do {
+            int k = 31 - __builtin_clz((unsigned)hits);
+            hits = (__mmask16)(hits & ~(1u << k));
+            uint32_t cpos = posbuf[k];
+            const uint8_t* match = in + cpos;
+            uint16_t m_start;
+            memcpy(&m_start, match, 2);
+            if (m_start != scan_start) continue;
+            unsigned len = 2;
+            while (len < MAX_MATCH) {
+              uint64_t a, b;
+              memcpy(&a, scan + len, 8);
+              memcpy(&b, match + len, 8);
+              uint64_t x = a ^ b;
+              if (x) {
+                len += (unsigned)(__builtin_ctzll(x) >> 3);
+                break;
+              }
+              len += 8;
+            }
+            if (len > MAX_MATCH) len = MAX_MATCH;
+            if (len > best_len) {
+              match_start = cpos;
+              best_len = len;
+              if (len >= nice) {  // walk ends AT this candidate
+                chain_left -= 15 - k + 1;
+                idx -= 15 - k + 1;
+                brk = true;
+                break;
+              }
+              memcpy(&scan_end, scan + best_len - 1, 2);
+            }
+          } while (hits);
+          if (brk) goto walk_done;
+        }
+        idx -= take;
+        chain_left -= take;
+        if (chain_left == 0) goto walk_done;
+        if (take < 16) break;  // stop lane next: per-entry logic
+      }
+      if (idx < 0) break;
+#endif
       uint32_t cur = base[idx];
       if (cur <= limit) break;
+
+      uint32_t qcur = seg_ok ? qq[cur] : 0;
+      unsigned qc0 = qcur & 0xFFFF;
+      if (qc0 >= MIN_MATCH && (long)(qcur >> 16) >= SEG_MIN) {
+        uint32_t lo = cur - (qcur >> 16) + 1;  // run start (qb >= 1; may be
+                                               // saturated -> chunked)
+        if (lo < 1) lo = 1;                    // position 0 is never an entry
+        bool limit_clip = lo <= limit;
+        if (limit_clip) lo = limit + 1;
+        long S = (long)(cur - lo) + 1;    // candidates at cur-d, d=0..S-1,
+        if (S > chain_left) S = chain_left;  // with qc(d) = qc0 + d
+        unsigned qs = in[cur] == scan_byte ? qs_scan : 0;
+        unsigned M;            // max length over the visited candidates
+        long d_at;             // newest candidate attaining it
+        bool nice_brk = false;
+        long consumed = S;
+        if (qc0 > qs && qs < NICE_MATCH) {
+          M = qs, d_at = 0;  // hot class: every len == qs; newest first
+        } else if (qs >= NICE_MATCH) {
+          // len(d) = min(qc0 + d, 258); break at the first len == 258
+          if (qc0 >= NICE_MATCH) {
+            M = NICE_MATCH, d_at = 0, nice_brk = true, consumed = 1;
+          } else if ((long)(NICE_MATCH - qc0) <= S - 1) {
+            d_at = (long)(NICE_MATCH - qc0);
+            M = NICE_MATCH, nice_brk = true, consumed = d_at + 1;
+          } else {
+            M = qc0 + (unsigned)(S - 1), d_at = S - 1;  // ascending class
+          }
+        } else {             // qc0 <= qs < 258
+          long d_s = (long)(qs - qc0);  // the qc == qs candidate
+          if (d_s > S - 1) {
+            M = qc0 + (unsigned)(S - 1), d_at = S - 1;  // all len = qc < qs
+          } else {
+            // one real compare: both tails start at their first non-X byte
+            const uint8_t* cs = scan + qs;
+            const uint8_t* cm = in + (cur - (uint32_t)d_s) + qs;
+            unsigned ext = 0;
+            const unsigned room = NICE_MATCH - qs;
+            while (ext < room) {
+              uint64_t a, b;
+              memcpy(&a, cs + ext, 8);
+              memcpy(&b, cm + ext, 8);
+              uint64_t x = a ^ b;
+              if (x) {
+                ext += (unsigned)(__builtin_ctzll(x) >> 3);
+                break;
+              }
+              ext += 8;
+            }
+            if (ext > room) ext = room;
+            M = qs + ext, d_at = d_s;  // >= qs > every other class
+            if (M >= NICE_MATCH) nice_brk = true, consumed = d_s + 1;
+          }
+        }
+        if (M > best_len) {
+          best_len = M;
+          match_start = cur - (uint32_t)d_at;
+          memcpy(&scan_end, scan + best_len - 1, 2);
+        }
+        chain_left -= consumed;
+        if (nice_brk || chain_left == 0) break;
+        idx -= S;
+        if (limit_clip || lo == limit + 1) break;  // next pos <= limit
+        continue;
+      }
+
       const uint8_t* match = in + cur;
       uint16_t m_end, m_start;
       memcpy(&m_end, match + best_len - 1, 2);
@@ -636,7 +875,11 @@ struct Compressor {
         }
       }
       idx--;
-    } while (idx >= 0 && --chain_length != 0);
+      if (--chain_left == 0) break;
+    }
+#if defined(__AVX512F__)
+  walk_done:
+#endif
     return (size_t)best_len <= lookahead ? best_len : (unsigned)lookahead;
   }
 

@@ -47,9 +47,22 @@ static uint32_t rnd() {
 }
 
 // generators spanning the regimes that exercise distinct deflate machinery
+static const int N_KINDS = 9;
 static std::vector<uint8_t> gen(int kind, size_t n) {
   std::vector<uint8_t> v(n);
-  switch (kind % 8) {
+  switch (kind % N_KINDS) {
+    case 8: {  // matches planted at distances straddling MAX_DIST (32506):
+               // exercises the unconditional first candidate + limit cutoff
+      for (auto& b : v) b = (uint8_t)(rnd() % 4 ? 0 : rnd());
+      for (size_t i = 33000; i + 8 < n; i += 1 + rnd() % 700) {
+        size_t back = 32498 + rnd() % 20;
+        size_t len = 3 + rnd() % 12;
+        if (len > n - i) len = n - i;
+        for (size_t k = 0; k < len; k++) v[i + k] = v[i - back + k];
+        i += len;
+      }
+      break;
+    }
     case 0:  // pure random: incompressible, stored-block decision
       for (auto& b : v) b = (uint8_t)rnd();
       break;
@@ -161,7 +174,7 @@ int main(int argc, char** argv) {
                                  98301 - 5, 98301 + 5, 200000, 1 << 20};
   char label[64];
   for (size_t s : sizes) {
-    for (int kind = 0; kind < 8; kind++) {
+    for (int kind = 0; kind < N_KINDS; kind++) {
       snprintf(label, sizeof label, "size=%zu kind=%d", s, kind);
       fails += check(gen(kind, s), label);
       cases++;
@@ -170,7 +183,7 @@ int main(int argc, char** argv) {
   // randomized sizes, incl. >2*W_SIZE to cross window slides repeatedly
   for (int i = 0; i < 40; i++) {
     size_t s = rnd() % (1u << (10 + rnd() % 11));
-    int kind = (int)(rnd() % 8);
+    int kind = (int)(rnd() % N_KINDS);
     snprintf(label, sizeof label, "rand size=%zu kind=%d", s, kind);
     fails += check(gen(kind, s), label);
     cases++;
