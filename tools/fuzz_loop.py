@@ -143,6 +143,38 @@ def run_worker(seed: int, cases: int, out_path: str | None,
     return mismatches
 
 
+def run_deflate(args) -> int:
+    """Differential-fuzz the fast deflate clone vs the system zlib.
+
+    Builds native/fd_test (211 generated cases per seed spanning stored/
+    static/dynamic blocks, window slides, MAX_DIST-straddling matches,
+    run-heavy lossy-like data) and sweeps seeds until --total cases or
+    --duration seconds."""
+    native = os.path.join(REPO, "native")
+    subprocess.run(["make", "-C", native, "-s", "fd_test"], check=True)
+    fd_test = os.path.join(native, "fd_test")
+    total = fails = 0
+    t0 = time.time()
+    seed = args.seed
+    while True:
+        if args.total and total >= args.total:
+            break
+        if args.duration and time.time() - t0 >= args.duration:
+            break
+        r = subprocess.run([fd_test, str(seed)], capture_output=True,
+                           text=True)
+        line = (r.stdout.strip().splitlines() or ["?"])[-1]
+        print(f"seed {seed}: {line}", file=sys.stderr)
+        if r.returncode != 0:
+            sys.stdout.write(r.stdout)
+            fails += 1
+        total += 211  # cases per fd_test run
+        seed += 1
+    print(f"deflate fuzz DONE: ~{total} cases, {fails} failing seeds",
+          file=sys.stderr)
+    return 1 if fails else 0
+
+
 def run_driver(args) -> int:
     oracle = build_oracle(args.oracle)
     total = done = mismatches = 0
@@ -209,9 +241,14 @@ def main() -> None:
                     choices=["auto", "xla", "pallas"],
                     help="pallas = fuzz the kernel paths in interpreter "
                          "mode (slow; use small --cases/--cycle-cases)")
+    ap.add_argument("--deflate", action="store_true",
+                    help="differential-fuzz the native fast-deflate clone "
+                         "vs the system zlib (no oracle/JAX involved)")
     args = ap.parse_args()
     if not args.worker and not args.total and not args.duration:
         args.total = 1024
+    if args.deflate:
+        sys.exit(run_deflate(args))
     if args.worker:
         sys.path.insert(0, REPO)
         try:
