@@ -9,6 +9,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 #include <string>
 #include <zlib.h>
@@ -165,7 +166,51 @@ static int check(const std::vector<uint8_t>& data, const char* what) {
   return bad;
 }
 
+static std::vector<uint8_t> read_file(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return {};
+  fseek(f, 0, SEEK_END);
+  long fl = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> data((size_t)fl);
+  if (fread(data.data(), 1, data.size(), f) != data.size()) data.clear();
+  fclose(f);
+  return data;
+}
+
+// --bench FILE [reps]: time the clone (and libz once) on FILE's raw bytes
+static int bench_mode(int argc, char** argv) {
+  if (argc < 3) return 2;
+  std::vector<uint8_t> data = read_file(argv[2]);
+  if (data.empty()) { printf("cannot read %s\n", argv[2]); return 2; }
+  int reps = argc > 3 ? atoi(argv[3]) : 9;
+  double best = 1e30;
+  size_t out_len = 0;
+  for (int r = 0; r < reps; r++) {
+    struct timespec t0, t1;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    uint8_t* out = nullptr;
+    fast_deflate9_filtered(data.data(), data.size(), &out, &out_len);
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    free(out);
+    double s = (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+    if (s < best) best = s;
+  }
+  struct timespec t0, t1;
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+  std::vector<uint8_t> ref = zlib_ref(data.data(), data.size(), data.size() + 1);
+  clock_gettime(CLOCK_MONOTONIC, &t1);
+  double zs = (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+  printf("clone: %.1f ms (%.1f ns/B) -> %zu B; libz: %.1f ms (%.1f ns/B), "
+         "%.2fx, identical=%d\n",
+         best * 1e3, best * 1e9 / data.size(), out_len, zs * 1e3,
+         zs * 1e9 / data.size(), zs / best,
+         out_len == ref.size());
+  return 0;
+}
+
 int main(int argc, char** argv) {
+  if (argc > 1 && strcmp(argv[1], "--bench") == 0) return bench_mode(argc, argv);
   rng_state = argc > 1 ? strtoull(argv[1], nullptr, 10) : 12345;
   int fails = 0, cases = 0;
 
