@@ -151,8 +151,13 @@ def run_deflate(args) -> int:
     run-heavy lossy-like data) and sweeps seeds until --total cases or
     --duration seconds."""
     native = os.path.join(REPO, "native")
-    subprocess.run(["make", "-C", native, "-s", "fd_test"], check=True)
-    fd_test = os.path.join(native, "fd_test")
+    # fd_test carries the production ISA flags (AVX-512 match filter);
+    # fd_test_portable is the same source scalar-only — alternate seeds
+    # between them so both code paths accumulate coverage.
+    builds = []
+    for target in ("fd_test", "fd_test_portable"):
+        subprocess.run(["make", "-C", native, "-s", target], check=True)
+        builds.append(os.path.join(native, target))
     total = fails = 0
     t0 = time.time()
     seed = args.seed
@@ -161,10 +166,12 @@ def run_deflate(args) -> int:
             break
         if args.duration and time.time() - t0 >= args.duration:
             break
-        r = subprocess.run([fd_test, str(seed)], capture_output=True,
+        binary = builds[seed % len(builds)]
+        r = subprocess.run([binary, str(seed)], capture_output=True,
                            text=True)
         line = (r.stdout.strip().splitlines() or ["?"])[-1]
-        print(f"seed {seed}: {line}", file=sys.stderr)
+        print(f"seed {seed} [{os.path.basename(binary)}]: {line}",
+              file=sys.stderr)
         if r.returncode != 0:
             sys.stdout.write(r.stdout)
             fails += 1
