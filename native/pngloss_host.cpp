@@ -22,6 +22,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <exception>
+#include <new>
 #include <string>
 #include <vector>
 
@@ -37,14 +39,22 @@ thread_local std::string g_error;
 
 enum PlStatus {
   PL_OK = 0,
-  PL_DECODE_ERROR = 2,   // == READ_ERROR exit code
+  PL_DECODE_ERROR = 2,   // == READ_ERROR exit code (legacy; decode now
+                         //    returns the precise rwpng.h codes below)
   PL_TOO_LARGE = 98,     // == TOO_LARGE_FILE
   PL_BAD_ARGS = 4,
+  PL_PNG_OOM = 24,       // == PNG_OUT_OF_MEMORY_ERROR (rwpng.c:287-290)
+  PL_LIBPNG_FATAL = 25,  // == LIBPNG_FATAL_ERROR (longjmp-recovered errors)
 };
 
 int fail(const std::string& msg) {
   g_error = msg;
-  return PL_DECODE_ERROR;
+  return PL_LIBPNG_FATAL;
+}
+
+int fail_oom(const std::string& msg) {
+  g_error = msg;
+  return PL_PNG_OOM;
 }
 
 uint32_t be32(const uint8_t* p) {
@@ -105,14 +115,22 @@ bool parse_chunks(const uint8_t* blob, size_t len, std::vector<KeptChunk>* out) 
 // zlib helpers
 // ---------------------------------------------------------------------------
 
-bool inflate_all(const std::vector<uint8_t>& in, std::vector<uint8_t>* out) {
+// Inflate the IDAT run with libpng's termination semantics (verified
+// empirically against the reference tool): the zlib stream must reach a
+// valid Z_STREAM_END (incl. adler32) within the run — a one-byte cut is
+// "Not enough image data"; input after the stream end is ignored; output
+// beyond `needed` is discarded, bounding memory on decompression bombs.
+// Returns 0 ok, 1 not-enough/unterminated, 2 incorrect data check, 3 invalid.
+int inflate_idat(const std::vector<uint8_t>& in, size_t needed,
+                 std::vector<uint8_t>* out) {
   z_stream zs{};
-  if (inflateInit(&zs) != Z_OK) return false;
+  if (inflateInit(&zs) != Z_OK) return 3;
   out->clear();
-  out->reserve(in.size() * 4 + 64);
+  out->reserve(needed < (size_t(1) << 24) ? needed : (size_t(1) << 24));
   std::vector<uint8_t> buf(1 << 16);
   zs.next_in = const_cast<uint8_t*>(in.data());
-  zs.avail_in = uInt(in.size());
+  zs.avail_in = uInt(in.size() > 0xFFFFFFFFu ? 0xFFFFFFFFu : in.size());
+  size_t fed = zs.avail_in;
   int ret = Z_OK;
   do {
     zs.next_out = buf.data();
@@ -120,12 +138,27 @@ bool inflate_all(const std::vector<uint8_t>& in, std::vector<uint8_t>* out) {
     ret = inflate(&zs, Z_NO_FLUSH);
     if (ret != Z_OK && ret != Z_STREAM_END) {
       inflateEnd(&zs);
-      return false;
+      return ret == Z_DATA_ERROR && zs.msg &&
+                     std::strstr(zs.msg, "check") != nullptr
+                 ? 2
+                 : 3;
     }
-    out->insert(out->end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
+    size_t got = buf.size() - zs.avail_out;
+    if (out->size() < needed) {
+      size_t take = needed - out->size();
+      if (take > got) take = got;
+      out->insert(out->end(), buf.data(), buf.data() + take);
+    }
+    if (zs.avail_in == 0 && fed < in.size()) {
+      size_t chunk = in.size() - fed;
+      if (chunk > 0xFFFFFFFFu) chunk = 0xFFFFFFFFu;
+      zs.next_in = const_cast<uint8_t*>(in.data() + fed);
+      zs.avail_in = uInt(chunk);
+      fed += chunk;
+    }
   } while (ret != Z_STREAM_END && (zs.avail_in > 0 || zs.avail_out == 0));
   inflateEnd(&zs);
-  return ret == Z_STREAM_END;
+  return ret == Z_STREAM_END ? 0 : 1;
 }
 
 // ---------------------------------------------------------------------------
@@ -134,14 +167,21 @@ bool inflate_all(const std::vector<uint8_t>& in, std::vector<uint8_t>* out) {
 
 const int kChannels[7] = {1, 0, 3, 1, 2, 0, 4};
 
-bool is_critical_set(const char* n) {
+// Chunks the system libpng (1.6 + Debian APNG patch) has READ HANDLERS for:
+// they never reach the reference's keep-callback (rwpng.c:129-156) and their
+// handlers all start with a fatal missing-IHDR check.
+bool is_known_handled(const char* n) {
   static const char* kSet[] = {"IHDR", "PLTE", "IDAT", "IEND", "tRNS",
-                               "sRGB", "bKGD", "hIST", "sBIT", "tIME"};
+                               "gAMA", "sRGB", "cHRM", "iCCP", "sBIT",
+                               "bKGD", "hIST", "tIME", "oFFs", "pCAL",
+                               "sCAL", "sPLT", "sTER", "eXIf", "acTL",
+                               "fcTL", "fdAT"};
   for (const char* s : kSet)
     if (std::memcmp(n, s, 4) == 0) return true;
   return false;
 }
 
+// keep-listed chunks (png_set_keep_unknown_chunks IF_SAFE, rwpng.c:213)
 bool is_kept_known(const char* n) {
   static const char* kSet[] = {"pHYs", "iTXt", "tEXt", "zTXt"};
   for (const char* s : kSet)
@@ -149,11 +189,38 @@ bool is_kept_known(const char* n) {
   return false;
 }
 
-bool is_never_kept(const char* n) {
-  static const char* kSet[] = {"iCCP", "cHRM", "gAMA"};
-  for (const char* s : kSet)
-    if (std::memcmp(n, s, 4) == 0) return true;
-  return false;
+// png_check_IHDR emulation; returns nullptr when valid, else the error text
+const char* check_ihdr(uint32_t w, uint32_t h, int depth, int color, int comp,
+                       int filt, int inter) {
+  if (w == 0 || h == 0) return "Image width or height is zero in IHDR";
+  if (w > 0x7FFFFFFFu || h > 0x7FFFFFFFu)
+    return "PNG unsigned integer out of range";
+  if (w > 1000000u) return "Image width exceeds user limit in IHDR";
+  if (h > 1000000u) return "Image height exceeds user limit in IHDR";
+  if (depth != 1 && depth != 2 && depth != 4 && depth != 8 && depth != 16)
+    return "Invalid bit depth in IHDR";
+  if (color != 0 && color != 2 && color != 3 && color != 4 && color != 6)
+    return "Invalid color type in IHDR";
+  if ((color == 3 && depth > 8) ||
+      ((color == 2 || color == 4 || color == 6) && depth < 8))
+    return "Invalid color type/bit depth combination in IHDR";
+  if (comp != 0) return "Unknown compression method in IHDR";
+  if (filt != 0) return "Unknown filter method in IHDR";
+  if (inter > 1) return "Unknown interlace method in IHDR";
+  return nullptr;
+}
+
+// png_XYZ_from_xy validity: failure marks the colorspace invalid (sticky),
+// clearing/blocking the byte-visible sRGB tag
+bool chrm_valid(const uint32_t v[8]) {
+  double f[8];
+  for (int i = 0; i < 8; i++) {
+    f[i] = v[i] / 100000.0;
+    if (f[i] < 0 || f[i] > 1) return false;
+  }
+  if (f[1] <= 0) return false;  // white y
+  double d = (f[2] - f[6]) * (f[5] - f[7]) - (f[3] - f[7]) * (f[4] - f[6]);
+  return d > 1e-9 || d < -1e-9;
 }
 
 // Undo PNG per-row filtering in place over raw (h x (rowbytes+1)).
@@ -237,109 +304,213 @@ const Adam7Pass kAdam7[7] = {{0, 0, 8, 8}, {4, 0, 8, 8}, {0, 4, 4, 8},
                              {2, 0, 4, 4}, {0, 2, 2, 4}, {1, 0, 2, 2},
                              {0, 1, 1, 2}};
 
-}  // namespace
-
-extern "C" {
-
-const char* pl_last_error() { return g_error.c_str(); }
-void pl_free(void* p) { std::free(p); }
-
 // color_transform codes shared with Python: 0=none, 1=srgb, 2=gama_only
-int pl_decode(const uint8_t* data, size_t len, int strip,
-              uint8_t** out_rgba, uint32_t* out_w, uint32_t* out_h,
-              double* out_gamma, int* out_transform,
-              uint8_t** out_chunks, size_t* out_chunks_len) {
+int pl_decode_impl(const uint8_t* data, size_t len, int strip,
+                   uint8_t** out_rgba, uint32_t* out_w, uint32_t* out_h,
+                   double* out_gamma, int* out_transform,
+                   uint8_t** out_chunks, size_t* out_chunks_len) {
   if (len < 8 || std::memcmp(data, kSig, 8) != 0) return fail("Not a PNG file");
 
   uint32_t width = 0, height = 0;
   int bit_depth = 0, color_type = -1, interlace = 0;
-  bool have_ihdr = false, seen_idat = false, seen_iend = false;
-  bool has_srgb = false, has_gama = false;
-  double pending_gamma = 0.0;
+  bool have_ihdr = false, have_plte = false;
+  bool seen_idat = false, idat_done = false;
+  size_t num_palette = 0;
+  // libpng colorspace state machine (byte-visible through the sRGB tag)
+  bool cs_invalid = false, from_srgb = false, have_gamma = false;
+  bool have_endpoints = false, srgb_tag = false;
+  uint32_t gamma_fixed = 45455;
   std::vector<uint8_t> palette, trns, idat;
+  bool have_trns = false;
   std::vector<KeptChunk> kept;
 
   size_t pos = 8;
-  while (pos + 8 <= len) {
+  while (true) {
+    if (pos + 8 > len) return fail("Read error");  // EOF without IEND
     uint32_t length = be32(data + pos);
     const uint8_t* namep = data + pos + 4;
-    // libpng-matching message texts (rwpng.c:80, png_chunk_error)
+    char name[5] = {char(namep[0]), char(namep[1]), char(namep[2]),
+                    char(namep[3]), 0};
+    if (length > 0x7FFFFFFFu)
+      return fail(std::string(name) + ": invalid chunk length");
+    for (int i = 0; i < 4; i++) {
+      uint8_t b = namep[i];
+      if (!((b >= 65 && b <= 90) || (b >= 97 && b <= 122)))
+        return fail("invalid chunk type");
+    }
     if (pos + 12 + size_t(length) > len) return fail("Read error");
     const uint8_t* body = data + pos + 8;
     uint32_t expect = be32(data + pos + 8 + length);
-    uint32_t actual = crc32(crc32(0, namep, 4), body, length);
-    char name[5] = {char(namep[0]), char(namep[1]), char(namep[2]), char(namep[3]), 0};
-    if (expect != actual) return fail(std::string(name) + ": CRC error");
     pos += 12 + length;
 
+    bool known = is_known_handled(name) || (strip && is_kept_known(name));
+    // libpng handlers check missing-IHDR before reading data/CRC
+    if (!have_ihdr && std::memcmp(name, "IHDR", 4) != 0 && known) {
+      if (std::memcmp(name, "IDAT", 4) == 0)
+        return fail("IDAT: Missing IHDR before IDAT");
+      if (std::memcmp(name, "IEND", 4) == 0) return fail("IEND: out of place");
+      return fail(std::string(name) + ": missing IHDR");
+    }
+
+    bool ancillary = (namep[0] & 0x20) != 0;
+    if (expect != crc32(crc32(0, namep, 4), body, length)) {
+      // critical-bit chunks (incl. unknown ones): fatal; handler-path
+      // ancillary: warn + discard; unknown-path ancillary: rwpng's callback
+      // stores the chunk before libpng sees the CRC result, so keep/use it
+      if (!ancillary) return fail(std::string(name) + ": CRC error");
+      if (known) continue;
+    }
+
+    if (seen_idat && std::memcmp(name, "IDAT", 4) != 0) idat_done = true;
+
     if (std::memcmp(name, "IHDR", 4) == 0) {
-      if (length < 13) return fail("short IHDR");
+      if (have_ihdr) return fail("IHDR: out of place");
+      if (length != 13) return fail("IHDR: invalid");
       width = be32(body);
       height = be32(body + 4);
       bit_depth = body[8];
       color_type = body[9];
       interlace = body[12];
+      const char* err = check_ihdr(width, height, bit_depth, color_type,
+                                   body[10], body[11], interlace);
+      if (err) return fail(err);
       have_ihdr = true;
     } else if (std::memcmp(name, "PLTE", 4) == 0) {
-      palette.assign(body, body + length);
-    } else if (std::memcmp(name, "tRNS", 4) == 0) {
-      trns.assign(body, body + length);
-    } else if (std::memcmp(name, "IDAT", 4) == 0) {
-      idat.insert(idat.end(), body, body + length);
-      seen_idat = true;
-    } else if (std::memcmp(name, "IEND", 4) == 0) {
-      seen_iend = true;
-      break;
-    } else if (std::memcmp(name, "sRGB", 4) == 0) {
-      has_srgb = true;
-    } else if (std::memcmp(name, "gAMA", 4) == 0) {
-      if (length >= 4) {
-        uint32_t g = be32(body);
-        if (g) {
-          pending_gamma = g / 100000.0;
-          has_gama = true;
-        }
+      // png_handle_PLTE: after IDAT benign; duplicate fatal; grayscale
+      // benign; bad length fatal iff palette image
+      if (seen_idat) continue;
+      if (have_plte) return fail("PLTE: duplicate");
+      if (color_type == 0 || color_type == 4) continue;
+      if (length == 0 || length > 768 || length % 3) {
+        if (color_type == 3) return fail("PLTE: invalid");
+        continue;
       }
-    } else if (!strip && !is_never_kept(name)) {
-      bool safe_to_copy = (name[3] & 0x20) != 0;
-      if (is_kept_known(name) || (!is_critical_set(name) && safe_to_copy)) {
+      palette.assign(body, body + length);
+      num_palette = length / 3;
+      have_plte = true;
+    } else if (std::memcmp(name, "IDAT", 4) == 0) {
+      if (idat_done) continue;  // IDATs after the run ended are tolerated
+      if (!seen_idat) {
+        if (color_type == 3 && !have_plte)
+          return fail("IDAT: Missing PLTE before IDAT");
+        // rwpng.c:287-290: reject images whose final RGBA8 rowbytes can't
+        // fit 32-bit math, BEFORE allocating (exit code 24)
+        if (size_t(width) * 4 > size_t(0x7FFFFFFF) / height)
+          return fail_oom("image too large for 32-bit rowbytes");
+        seen_idat = true;
+      }
+      idat.insert(idat.end(), body, body + length);
+    } else if (std::memcmp(name, "IEND", 4) == 0) {
+      if (!seen_idat) return fail("IEND: out of place");
+      break;
+    } else if (std::memcmp(name, "tRNS", 4) == 0) {
+      // png_handle_tRNS: every malformed shape is a benign discard
+      if (seen_idat || have_trns || length == 0) continue;
+      if (color_type == 0) {
+        if (length != 2) continue;
+      } else if (color_type == 2) {
+        if (length != 6) continue;
+      } else if (color_type == 3) {
+        if (!have_plte || length > num_palette) continue;
+      } else {
+        continue;  // "invalid with alpha channel"
+      }
+      trns.assign(body, body + length);
+      have_trns = true;
+    } else if (std::memcmp(name, "gAMA", 4) == 0) {
+      if (have_plte || seen_idat || length != 4) continue;
+      uint32_t g = be32(body);
+      if (cs_invalid || from_srgb) continue;  // FROM_sRGB: gAMA ignored
+      if (g < 16 || g > 625000000u || have_gamma) {
+        // out-of-range or duplicate: colorspace INVALID (sticky), sRGB lost
+        cs_invalid = true;
+        srgb_tag = false;
+        continue;
+      }
+      have_gamma = true;
+      gamma_fixed = g;
+    } else if (std::memcmp(name, "sRGB", 4) == 0) {
+      if (have_plte || seen_idat || length != 1 || body[0] > 3) continue;
+      if (cs_invalid) continue;
+      if (from_srgb) {  // second sRGB (any intent) invalidates
+        cs_invalid = true;
+        srgb_tag = false;
+        continue;
+      }
+      from_srgb = true;
+      have_gamma = true;
+      srgb_tag = true;
+      gamma_fixed = 45455;
+    } else if (std::memcmp(name, "cHRM", 4) == 0) {
+      if (have_plte || seen_idat || length != 32) continue;
+      if (cs_invalid || from_srgb) continue;
+      uint32_t v[8];
+      for (int i = 0; i < 8; i++) v[i] = be32(body + 4 * i);
+      if (!chrm_valid(v) || have_endpoints) {
+        cs_invalid = true;
+        srgb_tag = false;
+        continue;
+      }
+      have_endpoints = true;
+    } else if (is_known_handled(name) || (strip && is_kept_known(name))) {
+      // iCCP/sBIT/bKGD/hIST/tIME/oFFs/pCAL/sCAL/sPLT/sTER/eXIf/acTL/fcTL/
+      // fdAT (+ keep-list under strip): handled by libpng, never re-emitted
+      continue;
+    } else {
+      // unknown path (read_chunk_callback + libpng write-side policy):
+      // keep iff safe-to-copy, after IHDR (location != 0), before IDAT
+      if (strip) {
+        if (!ancillary) return fail("unhandled critical chunk");
+        continue;
+      }
+      if (!have_ihdr || seen_idat) continue;
+      if (is_kept_known(name) || (namep[3] & 0x20) != 0) {
         KeptChunk c;
         std::memcpy(c.name, name, 4);
-        c.location = seen_idat ? 8 : 1;
+        c.location = 1;
         c.data.assign(body, body + length);
         kept.push_back(std::move(c));
       }
     }
   }
-  if (!seen_iend) return fail("Read error");
-  if (!have_ihdr) return fail("missing IHDR");
-  if (width == 0 || height == 0) return fail("zero-sized image");
-  if (color_type < 0 || color_type > 6 || kChannels[color_type] == 0)
-    return fail("bad color type");
   int channels = kChannels[color_type];
-  bool depth_ok = bit_depth == 8 || bit_depth == 16 ||
-                  ((bit_depth == 1 || bit_depth == 2 || bit_depth == 4) &&
-                   (color_type == 0 || color_type == 3));
-  if (!depth_ok) return fail("bad bit depth");
 
   // gamma/sRGB bookkeeping (rwpng.c:258-275)
   double gamma = 0.45455;
   int transform;
-  if (has_srgb) {
+  if (srgb_tag) {
     transform = 1;  // srgb
-  } else if (has_gama) {
-    if (pending_gamma > 0 && pending_gamma <= 1.0) {
-      gamma = pending_gamma;
+  } else {
+    double g = (have_gamma && !cs_invalid) ? gamma_fixed / 100000.0 : 0.45455;
+    if (g > 0 && g <= 1.0) {
+      gamma = g;
       transform = 2;  // gama_only
     } else {
       transform = 0;  // none
     }
-  } else {
-    transform = 2;  // gama_only (default gamma passes the range check)
   }
 
+  const int sample_bits_pre = bit_depth * channels;
+  size_t needed;
+  if (interlace == 0) {
+    needed = size_t(height) * ((size_t(width) * sample_bits_pre + 7) / 8 + 1);
+  } else {
+    needed = 0;
+    for (const auto& p : kAdam7) {
+      uint32_t w = (width > uint32_t(p.x0)) ? (width - p.x0 + p.dx - 1) / p.dx : 0;
+      uint32_t h = (height > uint32_t(p.y0)) ? (height - p.y0 + p.dy - 1) / p.dy : 0;
+      if (w && h) needed += size_t(h) * ((size_t(w) * sample_bits_pre + 7) / 8 + 1);
+    }
+  }
   std::vector<uint8_t> raw;
-  if (!inflate_all(idat, &raw)) return fail("bad IDAT stream");
+  switch (inflate_idat(idat, needed, &raw)) {
+    case 0: break;
+    case 1: return fail("Not enough image data");
+    case 2: return fail("IDAT: incorrect data check");
+    default: return fail("IDAT: invalid stream");
+  }
+  // check completeness BEFORE allocating the sample planes
+  if (raw.size() < needed) return fail("Not enough image data");
 
   const int sample_bits = bit_depth * channels;
   std::vector<int32_t> samples(size_t(width) * height * channels, 0);
@@ -387,25 +558,25 @@ int pl_decode(const uint8_t* data, size_t len, int strip,
 
   // samples -> normalized RGBA8
   uint8_t* rgba = static_cast<uint8_t*>(std::malloc(size_t(width) * height * 4));
-  if (!rgba) return fail("out of memory");
+  if (!rgba) return fail_oom("unable to allocate image data");
   const int maxval = (1 << bit_depth) - 1;
 
   if (color_type == 3) {
-    size_t ncolors = palette.size() / 3;
-    if (ncolors == 0) {
-      std::free(rgba);
-      return fail("palette image without PLTE");
-    }
+    // libpng calloc's a 256-entry palette (png_set_PLTE): out-of-range
+    // indices decode to black, never an error; tRNS entries beyond its
+    // length are opaque (png_do_expand_palette)
+    uint8_t pal256[256][3] = {};
+    uint8_t alpha256[256];
+    std::memset(alpha256, 255, sizeof(alpha256));
+    for (size_t c = 0; c < num_palette && c < 256; c++)
+      for (int k = 0; k < 3; k++) pal256[c][k] = palette[c * 3 + k];
+    for (size_t c = 0; c < trns.size() && c < 256; c++) alpha256[c] = trns[c];
     for (size_t i = 0; i < size_t(width) * height; i++) {
-      int32_t idx = samples[i];
-      if (size_t(idx) >= ncolors) {
-        std::free(rgba);
-        return fail("palette index out of range");
-      }
-      rgba[i * 4 + 0] = palette[idx * 3 + 0];
-      rgba[i * 4 + 1] = palette[idx * 3 + 1];
-      rgba[i * 4 + 2] = palette[idx * 3 + 2];
-      rgba[i * 4 + 3] = size_t(idx) < trns.size() ? trns[idx] : 255;
+      int32_t idx = samples[i] & 0xFF;
+      rgba[i * 4 + 0] = pal256[idx][0];
+      rgba[i * 4 + 1] = pal256[idx][1];
+      rgba[i * 4 + 2] = pal256[idx][2];
+      rgba[i * 4 + 3] = alpha256[idx];
     }
   } else if (color_type == 0) {
     int tg = -1;
@@ -480,6 +651,34 @@ int pl_decode(const uint8_t* data, size_t len, int strip,
   *out_chunks = blob_out;
   *out_chunks_len = blob.size();
   return PL_OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* pl_last_error() { return g_error.c_str(); }
+void pl_free(void* p) { std::free(p); }
+
+// Exception-safe ABI boundary: nothing may escape into ctypes (a crafted
+// PNG declaring huge dimensions previously escaped std::bad_alloc here,
+// aborting the whole process; the reference exits cleanly with code 24,
+// rwpng.c:287-296 / pngloss.c:196-205).
+int pl_decode(const uint8_t* data, size_t len, int strip,
+              uint8_t** out_rgba, uint32_t* out_w, uint32_t* out_h,
+              double* out_gamma, int* out_transform,
+              uint8_t** out_chunks, size_t* out_chunks_len) {
+  try {
+    return pl_decode_impl(data, len, strip, out_rgba, out_w, out_h,
+                          out_gamma, out_transform, out_chunks,
+                          out_chunks_len);
+  } catch (const std::bad_alloc&) {
+    return fail_oom("insufficient memory");
+  } catch (const std::exception& e) {
+    return fail(std::string("internal decode error: ") + e.what());
+  } catch (...) {
+    return fail("internal decode error");
+  }
 }
 
 }  // extern "C"
@@ -574,10 +773,11 @@ extern "C" {
 // rgba: (h, w, 4) uint8. row_filters: h int8 entries or NULL for all-adaptive.
 // transform: 0=none, 1=srgb, 2=gama_only. Returns PL_OK or PL_TOO_LARGE (the
 // output buffer is filled in BOTH cases, matching rwpng.c:631-633 semantics).
-int pl_encode(const uint8_t* rgba, uint32_t w, uint32_t h,
-              const int8_t* row_filters, double gamma, int transform,
-              const uint8_t* chunks_blob, size_t chunks_len,
-              size_t maximum_file_size, uint8_t** out_data, size_t* out_len) {
+static int pl_encode_impl(const uint8_t* rgba, uint32_t w, uint32_t h,
+                          const int8_t* row_filters, double gamma,
+                          int transform, const uint8_t* chunks_blob,
+                          size_t chunks_len, size_t maximum_file_size,
+                          uint8_t** out_data, size_t* out_len) {
   if (!rgba || w == 0 || h == 0) {
     g_error = "bad arguments";
     return PL_BAD_ARGS;
@@ -703,16 +903,28 @@ int pl_encode(const uint8_t* rgba, uint32_t w, uint32_t h,
       g_error = "deflateInit2 failed";
       return PL_BAD_ARGS;
     }
+    // feed in sub-4GiB slices: a single avail_in assignment would silently
+    // truncate filtered streams >= 4 GiB (uInt is 32-bit)
     std::vector<uint8_t> zbuf(1 << 16);
-    zs.next_in = filt.data();
-    zs.avail_in = uInt(filt.size());
-    do {
-      zs.next_out = zbuf.data();
-      zs.avail_out = uInt(zbuf.size());
-      deflate(&zs, Z_FINISH);
-      stream.insert(stream.end(), zbuf.data(),
-                    zbuf.data() + (zbuf.size() - zs.avail_out));
-    } while (zs.avail_out == 0);
+    size_t fed = 0;
+    for (;;) {
+      size_t slice = filt.size() - fed;
+      if (slice > (size_t(1) << 31)) slice = size_t(1) << 31;
+      zs.next_in = filt.data() + fed;
+      zs.avail_in = uInt(slice);
+      fed += slice;
+      int flush = (fed == filt.size()) ? Z_FINISH : Z_NO_FLUSH;
+      int ret;
+      do {
+        zs.next_out = zbuf.data();
+        zs.avail_out = uInt(zbuf.size());
+        ret = deflate(&zs, flush);
+        stream.insert(stream.end(), zbuf.data(),
+                      zbuf.data() + (zbuf.size() - zs.avail_out));
+      } while (zs.avail_out == 0 ||
+               (flush == Z_FINISH && ret != Z_STREAM_END));
+      if (flush == Z_FINISH) break;
+    }
     deflateEnd(&zs);
   } else {
     uint8_t* zdata = nullptr;
@@ -762,6 +974,26 @@ int pl_encode(const uint8_t* rgba, uint32_t w, uint32_t h,
     return PL_TOO_LARGE;
   }
   return PL_OK;
+}
+
+int pl_encode(const uint8_t* rgba, uint32_t w, uint32_t h,
+              const int8_t* row_filters, double gamma, int transform,
+              const uint8_t* chunks_blob, size_t chunks_len,
+              size_t maximum_file_size, uint8_t** out_data, size_t* out_len) {
+  try {
+    return pl_encode_impl(rgba, w, h, row_filters, gamma, transform,
+                          chunks_blob, chunks_len, maximum_file_size,
+                          out_data, out_len);
+  } catch (const std::bad_alloc&) {
+    g_error = "insufficient memory";
+    return PL_PNG_OOM;
+  } catch (const std::exception& e) {
+    g_error = std::string("internal encode error: ") + e.what();
+    return PL_BAD_ARGS;
+  } catch (...) {
+    g_error = "internal encode error";
+    return PL_BAD_ARGS;
+  }
 }
 
 }  // extern "C"

@@ -179,7 +179,9 @@ def _compress_one(
         img = codec.decode(data, strip=opts.strip)
     except codec.PngDecodeError as e:
         _report_decode_error(e, verbose_name, opts.using_stdin)
-        return None, None, LIBPNG_FATAL_ERROR, None
+        # PngDecodeError carries the precise rwpng.h code (25 libpng-fatal,
+        # 24 for the rwpng.c:287-290 overflow guard / allocation failure)
+        return None, None, getattr(e, "exit_code", LIBPNG_FATAL_ERROR), None
 
     if opts.verbose:
         _report_input_color(img, len(data))
@@ -452,7 +454,7 @@ def _run_batched(opts, mesh=None) -> int:
                 img = codec.decode(data, strip=opts.strip)
             except codec.PngDecodeError as e:
                 _report_decode_error(e, filename)
-                retval = LIBPNG_FATAL_ERROR
+                retval = getattr(e, "exit_code", LIBPNG_FATAL_ERROR)
         entries.append([filename, outname, retval, data, img])
 
     ok = [e for e in entries if e[2] == SUCCESS]

@@ -132,7 +132,9 @@ def decode(data: bytes, strip: bool = False) -> DecodedImage:
                        ctypes.byref(gamma), ctypes.byref(transform),
                        ctypes.byref(chunks_p), ctypes.byref(chunks_len))
     if rc != 0:
-        raise PngDecodeError(lib.pl_last_error().decode())
+        # rc carries the rwpng.h pngloss_error (25 libpng-fatal, 24 OOM guard)
+        raise PngDecodeError(lib.pl_last_error().decode(),
+                             exit_code=rc if rc in (24, 25) else 25)
     try:
         n = int(w.value) * int(h.value) * 4
         rgba = np.ctypeslib.as_array(

@@ -63,14 +63,35 @@ _ADAM7 = (  # (x_start, y_start, x_step, y_step) — PNG spec §8.2
     (0, 1, 1, 2),
 )
 
-# chunks libpng keeps via png_set_keep_unknown_chunks + read_chunk_callback
+# Chunks the system libpng (1.6 + Debian APNG patch) has READ HANDLERS for.
+# These never reach the reference's keep-callback (read_chunk_callback,
+# rwpng.c:129-156) and their handlers all begin with a fatal missing-IHDR
+# check.  Everything else travels the unknown-chunk path: kept iff
+# safe-to-copy, seen after IHDR, and before the first IDAT (libpng's WRITE
+# side silently drops unsafe-to-copy unknowns, and rwpng's
+# png_write_end(NULL) never writes post-IDAT unknowns).
+_KNOWN_HANDLED = {
+    b"IHDR", b"PLTE", b"IDAT", b"IEND", b"tRNS", b"gAMA", b"sRGB", b"cHRM",
+    b"iCCP", b"sBIT", b"bKGD", b"hIST", b"tIME", b"oFFs", b"pCAL", b"sCAL",
+    b"sPLT", b"sTER", b"eXIf", b"acTL", b"fcTL", b"fdAT",
+}
+# keep-listed chunks (png_set_keep_unknown_chunks IF_SAFE, rwpng.c:213):
+# routed down the unknown path when strip=False, known-handled when strip=True
 _KEPT_KNOWN = {b"pHYs", b"iTXt", b"tEXt", b"zTXt"}
-_NEVER_KEPT = {b"iCCP", b"cHRM", b"gAMA"}
-_CRITICAL = {b"IHDR", b"PLTE", b"IDAT", b"IEND", b"tRNS", b"sRGB", b"bKGD", b"hIST", b"sBIT", b"tIME"}
+
+# pngloss_error codes that decode failures map to (rwpng.h:23-38)
+PNG_OUT_OF_MEMORY_ERROR = 24
+LIBPNG_FATAL_ERROR = 25
 
 
 class PngDecodeError(ValueError):
-    pass
+    """Typed decode failure.  `exit_code` is the pngloss_error the reference
+    CLI would exit with for the same input: 25 for libpng longjmp errors,
+    24 for the rwpng.c:287-290 overflow guard / allocation failure."""
+
+    def __init__(self, msg: str, exit_code: int = LIBPNG_FATAL_ERROR):
+        super().__init__(msg)
+        self.exit_code = exit_code
 
 
 class TooLargeFile(Exception):
@@ -112,26 +133,62 @@ class DecodedImage:
 
 
 def _iter_chunks(data: bytes):
+    """Raw chunk walk for WELL-FORMED inputs (test helpers only; decode()
+    does its own walk with libpng's malformed-input policies)."""
     pos = len(PNG_SIGNATURE)
     n = len(data)
     while pos + 8 <= n:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         name = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        # error message texts follow libpng's so the CLI's stderr lines
-        # match the reference tool's (rwpng.c:80 "Read error",
-        # png_chunk_error's "<name>: CRC error")
         if len(body) != length or pos + 12 + length > n:
             raise PngDecodeError("Read error")
-        expect = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
-        actual = zlib.crc32(name + body) & 0xFFFFFFFF
-        if expect[0] != actual:
-            raise PngDecodeError(f"{name.decode('latin-1')}: CRC error")
         yield name, body
         pos += 12 + length
         if name == b"IEND":
             return
     raise PngDecodeError("Read error")
+
+
+def _check_ihdr(width, height, bit_depth, color_type, comp, filt, interlace):
+    """png_check_IHDR emulation (error texts follow libpng's; all are the
+    reference's exit code 25 via rwpng.c:201-204 longjmp recovery)."""
+    if width == 0 or height == 0:
+        raise PngDecodeError("Image width or height is zero in IHDR")
+    if width > 0x7FFFFFFF or height > 0x7FFFFFFF:
+        raise PngDecodeError("PNG unsigned integer out of range")
+    # libpng 1.6 default user limits (png_set_user_limits not overridden)
+    if width > 1000000:
+        raise PngDecodeError("Image width exceeds user limit in IHDR")
+    if height > 1000000:
+        raise PngDecodeError("Image height exceeds user limit in IHDR")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise PngDecodeError("Invalid bit depth in IHDR")
+    if color_type not in (0, 2, 3, 4, 6):
+        raise PngDecodeError("Invalid color type in IHDR")
+    if (color_type == 3 and bit_depth > 8) or (
+            color_type in (2, 4, 6) and bit_depth < 8):
+        raise PngDecodeError("Invalid color type/bit depth combination in IHDR")
+    if comp != 0:
+        raise PngDecodeError("Unknown compression method in IHDR")
+    if filt != 0:
+        raise PngDecodeError("Unknown filter method in IHDR")
+    if interlace > 1:
+        raise PngDecodeError("Unknown interlace method in IHDR")
+
+
+def _chrm_valid(v: tuple) -> bool:
+    """png_XYZ_from_xy validity: failure marks the whole colorspace invalid
+    (sticky), which clears/blocks the byte-visible sRGB tag."""
+    wx, wy, rx, ry, gx, gy, bx, by = (x / 100000.0 for x in v)
+    for x in (wx, wy, rx, ry, gx, gy, bx, by):
+        if x < 0 or x > 1:
+            return False
+    if wy <= 0:
+        return False
+    # the endpoint matrix must be invertible (png_XYZ_from_xy denominators)
+    d = (rx - bx) * (gy - by) - (ry - by) * (gx - bx)
+    return abs(d) > 1e-9
 
 
 def _bits_to_samples(raw: np.ndarray, bit_depth: int, count: int) -> np.ndarray:
@@ -153,11 +210,11 @@ def _bits_to_samples(raw: np.ndarray, bit_depth: int, count: int) -> np.ndarray:
 
 def _unfilter(raw: bytes, width: int, height: int, bpp_bytes: int, rowbytes: int) -> np.ndarray:
     """Undo PNG per-row filtering. Returns (height, rowbytes) uint8."""
-    out = np.zeros((height, rowbytes), dtype=np.uint8)
     stride = max(bpp_bytes, 1)
     raw_arr = np.frombuffer(raw, dtype=np.uint8)
     if len(raw_arr) < height * (rowbytes + 1):
         raise PngDecodeError("Not enough image data")  # libpng's text
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
     rows = raw_arr[: height * (rowbytes + 1)].reshape(height, rowbytes + 1)
     prev = np.zeros(rowbytes, dtype=np.int32)
     for y in range(height):
@@ -211,15 +268,17 @@ def _samples_to_rgba(
         if palette is None:
             raise PngDecodeError("palette image without PLTE")
         idx = samples[:, :, 0]
-        if int(idx.max(initial=0)) >= len(palette):
-            raise PngDecodeError("palette index out of range")
-        rgb = palette[idx]  # (H, W, 3) uint8
-        alpha = np.full((h, w), 255, dtype=np.uint8)
+        # libpng calloc's a 256-entry palette (png_set_PLTE): out-of-range
+        # indices decode to black, never an error; tRNS entries beyond its
+        # length are opaque (png_do_expand_palette)
+        pal256 = np.zeros((256, 3), dtype=np.uint8)
+        pal256[: len(palette)] = palette[:256]
+        rgb = pal256[idx]  # (H, W, 3) uint8
+        pal_alpha = np.full(256, 255, dtype=np.uint8)
         if trns is not None:
-            tr = np.frombuffer(trns, dtype=np.uint8)
-            pal_alpha = np.full(len(palette), 255, dtype=np.uint8)
+            tr = np.frombuffer(trns, dtype=np.uint8)[:256]
             pal_alpha[: len(tr)] = tr
-            alpha = pal_alpha[idx]
+        alpha = pal_alpha[idx]
         return np.dstack([rgb, alpha[..., None]])
 
     maxval = (1 << bit_depth) - 1
@@ -270,76 +329,269 @@ def _samples_to_rgba(
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _inflate_idat(idat: bytes, needed: int) -> bytes:
+    """Inflate the IDAT run with libpng's termination semantics (verified
+    empirically vs the oracle): the zlib stream must reach a valid end
+    (Z_STREAM_END incl. adler32) within the run — even a one-byte cut is
+    "Not enough image data"; bytes after the stream end are ignored; output
+    beyond `needed` is discarded (bounding memory on decompression bombs)."""
+    d = zlib.decompressobj()
+    out = bytearray()
+    tail = bytes(idat)
+    try:
+        while tail and not d.eof:
+            got = d.decompress(tail, 1 << 20)
+            if len(out) < needed:
+                out += got[: needed - len(out)]
+            tail = d.unconsumed_tail
+    except zlib.error as e:
+        msg = str(e)
+        if "-3" in msg and "check" in msg.lower():
+            raise PngDecodeError("IDAT: incorrect data check") from e
+        raise PngDecodeError("IDAT: invalid stream") from e
+    if not d.eof:
+        raise PngDecodeError("Not enough image data")
+    return bytes(out)
+
+
 def decode(data: bytes, strip: bool = False) -> DecodedImage:
-    """Decode PNG bytes to a normalized 8-bit RGBA image (rwpng_read_image24)."""
-    if not data.startswith(PNG_SIGNATURE):
+    """Decode PNG bytes to a normalized 8-bit RGBA image (rwpng_read_image24).
+
+    Matches the reference's ACCEPT/REJECT decisions and decoded bytes on
+    malformed input too (libpng 1.6 policies: benign-error discards for
+    ancillary chunks, fatal errors for critical ones, the colorspace
+    invalidation state machine, rwpng.c:287-290 overflow guard -> exit 24).
+    All failures raise PngDecodeError; nothing else escapes."""
+    try:
+        return _decode_impl(data, strip)
+    except PngDecodeError:
+        raise
+    except MemoryError as e:
+        raise PngDecodeError("insufficient memory",
+                             exit_code=PNG_OUT_OF_MEMORY_ERROR) from e
+    except Exception as e:  # belt and braces: never leak untyped errors
+        raise PngDecodeError(f"malformed PNG ({type(e).__name__}: {e})") from e
+
+
+def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
+    if len(data) < 8 or not data.startswith(PNG_SIGNATURE):
         raise PngDecodeError("Not a PNG file")  # libpng's message text
 
-    width = height = bit_depth = color_type = interlace = None
+    # with strip=True the reference sets no keep-list/callback, so the four
+    # keep-listed chunks fall back to their libpng handlers and unknown
+    # CRITICAL chunks become fatal (png_handle_unknown)
+    known_handled = _KNOWN_HANDLED | (_KEPT_KNOWN if strip else set())
+
+    width = height = bit_depth = color_type = interlace = 0
+    have_ihdr = False
     palette: np.ndarray | None = None
+    num_palette = 0
+    have_plte = False        # stored-PLTE (sets libpng's PNG_HAVE_PLTE mode)
     trns: bytes | None = None
+    # libpng colorspace state machine (byte-visible through the sRGB tag)
+    cs_invalid = False       # PNG_COLORSPACE_INVALID — sticky
+    from_srgb = False
+    have_gamma = False
+    have_endpoints = False
+    srgb_tag = False
+    gamma_fixed = 45455
     idat = bytearray()
-    kept: list[Chunk] = []
     seen_idat = False
-    gamma = 0.45455
-    color_transform = COLOR_NONE
-    has_srgb = False
-    has_gama = False
+    idat_done = False        # a non-IDAT chunk ended the consecutive run
+    kept: list[Chunk] = []
 
-    for name, body in _iter_chunks(data):
+    pos = 8
+    n = len(data)
+    while True:
+        if pos + 8 > n:
+            raise PngDecodeError("Read error")  # EOF without IEND
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        name = data[pos + 4 : pos + 8]
+        if length > 0x7FFFFFFF:
+            raise PngDecodeError(f"{name.decode('latin-1')}: invalid chunk length")
+        for b in name:
+            if not (65 <= b <= 90 or 97 <= b <= 122):
+                raise PngDecodeError("invalid chunk type")
+        if pos + 12 + length > n:
+            raise PngDecodeError("Read error")
+        body = data[pos + 8 : pos + 8 + length]
+        (expect,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        pos += 12 + length
+
+        # libpng handlers check missing-IHDR before reading data/CRC
+        if not have_ihdr and name != b"IHDR" and name in known_handled:
+            if name == b"IDAT":
+                raise PngDecodeError("IDAT: Missing IHDR before IDAT")
+            if name == b"IEND":
+                raise PngDecodeError("IEND: out of place")
+            raise PngDecodeError(f"{name.decode('latin-1')}: missing IHDR")
+
+        ancillary = bool(name[0] & 0x20)
+        if expect != (zlib.crc32(name + body) & 0xFFFFFFFF):
+            if not ancillary:
+                # critical-bit chunks (incl. unknown ones): fatal
+                raise PngDecodeError(f"{name.decode('latin-1')}: CRC error")
+            if name in known_handled:
+                continue  # handler path: warn + discard, no state change
+            # unknown path: rwpng's callback stores the chunk before libpng
+            # sees the CRC result, so the data is kept/used despite the error
+
+        if seen_idat and name != b"IDAT":
+            idat_done = True
+
         if name == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
-        elif name == b"PLTE":
-            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif name == b"tRNS":
-            trns = body
-        elif name == b"IDAT":
-            idat += body
-            seen_idat = True
-        elif name == b"IEND":
-            break
-        elif name == b"sRGB":
-            has_srgb = True
-        elif name == b"gAMA":
-            (g,) = struct.unpack(">I", body)
-            if g:
-                gamma_candidate = g / 100000.0
-                has_gama = True
-                _pending_gamma = gamma_candidate
-        elif not strip and name not in _NEVER_KEPT:
-            # keep pHYs/iTXt/tEXt/zTXt and safe-to-copy unknown chunks
-            # (read_chunk_callback, rwpng.c:129-156)
-            safe_to_copy = bool(name[3] & 0x20)
-            if name in _KEPT_KNOWN or (name not in _CRITICAL and safe_to_copy):
-                kept.append(Chunk(name=name, data=body, location=8 if seen_idat else 1))
+            if have_ihdr:
+                raise PngDecodeError("IHDR: out of place")
+            if length != 13:
+                raise PngDecodeError("IHDR: invalid")
+            width, height, bit_depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            _check_ihdr(width, height, bit_depth, color_type, comp, filt, interlace)
+            have_ihdr = True
 
-    if width is None:
-        raise PngDecodeError("missing IHDR")
-    if width == 0 or height == 0:
-        raise PngDecodeError("zero-sized image")
-    channels = _CHANNELS.get(color_type)
-    if channels is None:
-        raise PngDecodeError(f"bad color type {color_type}")
-    if bit_depth not in (1, 2, 4, 8, 16) or (bit_depth < 8 and color_type not in (0, 3)):
-        raise PngDecodeError(f"bad bit depth {bit_depth}")
+        elif name == b"PLTE":
+            # png_handle_PLTE ordering: after IDAT -> benign; duplicate ->
+            # fatal; grayscale -> benign; bad length -> fatal iff palette img
+            if seen_idat:
+                continue
+            if have_plte:
+                raise PngDecodeError("PLTE: duplicate")
+            if color_type in (0, 4):
+                continue  # "ignored in grayscale PNG"
+            if length == 0 or length > 768 or length % 3:
+                if color_type == 3:
+                    raise PngDecodeError("PLTE: invalid")
+                continue
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            num_palette = length // 3
+            have_plte = True
+
+        elif name == b"IDAT":
+            if idat_done:
+                continue  # IDATs after the run ended are tolerated (read_end)
+            if not seen_idat:
+                if color_type == 3 and not have_plte:
+                    raise PngDecodeError("IDAT: Missing PLTE before IDAT")
+                # rwpng.c:287-290: reject images whose final RGBA8 rowbytes
+                # can't fit 32-bit math, BEFORE allocating (exit code 24)
+                if width * 4 > 0x7FFFFFFF // height:
+                    raise PngDecodeError(
+                        "image too large for 32-bit rowbytes",
+                        exit_code=PNG_OUT_OF_MEMORY_ERROR)
+                seen_idat = True
+            idat += body
+
+        elif name == b"IEND":
+            if not seen_idat:
+                raise PngDecodeError("IEND: out of place")
+            break
+
+        elif name == b"tRNS":
+            # png_handle_tRNS: every malformed shape is a benign discard
+            # ("out of place" after IDAT, "duplicate" keeps the first,
+            # "invalid" lengths, alpha color types)
+            if seen_idat or trns is not None or length == 0:
+                continue
+            if color_type == 0:
+                if length != 2:
+                    continue
+                trns = body
+            elif color_type == 2:
+                if length != 6:
+                    continue
+                trns = body
+            elif color_type == 3:
+                if not have_plte or length > num_palette:
+                    continue
+                trns = body
+            else:
+                continue  # "invalid with alpha channel"
+
+        elif name == b"gAMA":
+            if have_plte or seen_idat or length != 4:
+                continue  # "out of place" / "invalid": benign, no state change
+            (g,) = struct.unpack(">I", body)
+            if cs_invalid or from_srgb:
+                continue  # FROM_sRGB: gAMA ignored entirely
+            if not (16 <= g <= 625000000) or have_gamma:
+                # out-of-range or duplicate: png_colorspace_set_gamma's error
+                # exit marks the colorspace INVALID (sticky) — clears sRGB
+                cs_invalid = True
+                srgb_tag = False
+                continue
+            have_gamma = True
+            gamma_fixed = g
+
+        elif name == b"sRGB":
+            if have_plte or seen_idat or length != 1 or body[0] > 3:
+                continue
+            if cs_invalid:
+                continue
+            if from_srgb:
+                # second sRGB (any intent) invalidates the colorspace
+                cs_invalid = True
+                srgb_tag = False
+                continue
+            from_srgb = True
+            have_gamma = True
+            srgb_tag = True
+            gamma_fixed = 45455
+
+        elif name == b"cHRM":
+            if have_plte or seen_idat or length != 32:
+                continue
+            if cs_invalid or from_srgb:
+                continue  # FROM_sRGB: cHRM ignored
+            vals = struct.unpack(">8I", body)
+            if not _chrm_valid(vals) or have_endpoints:
+                cs_invalid = True
+                srgb_tag = False
+                continue
+            have_endpoints = True
+
+        elif name in _KNOWN_HANDLED:
+            # iCCP/sBIT/bKGD/hIST/tIME/oFFs/pCAL/sCAL/sPLT/sTER/eXIf/acTL/
+            # fcTL/fdAT (+ the keep-list under strip): handled by libpng,
+            # never re-emitted, malformed shapes are benign discards
+            continue
+
+        else:
+            # unknown path (read_chunk_callback + libpng write-side policy):
+            # keep iff safe-to-copy, after IHDR (location != 0), before IDAT
+            if strip:
+                if not ancillary:
+                    raise PngDecodeError("unhandled critical chunk")
+                continue
+            if not have_ihdr or seen_idat:
+                continue
+            if name in _KEPT_KNOWN or bool(name[3] & 0x20):
+                kept.append(Chunk(name=name, data=body, location=1))
+
+    channels = _CHANNELS[color_type]
 
     # gamma/sRGB bookkeeping (rwpng.c:258-275)
-    if has_srgb:
+    gamma = 0.45455
+    if srgb_tag:
         color_transform = COLOR_SRGB
-    elif has_gama:
-        g = _pending_gamma
+    else:
+        g = gamma_fixed / 100000.0 if (have_gamma and not cs_invalid) else 0.45455
         if 0 < g <= 1.0:
             gamma = g
             color_transform = COLOR_GAMA_ONLY
         else:
             color_transform = COLOR_NONE
-    else:
-        # libpng: png_get_gAMA leaves gamma at default; reference then tags
-        # GAMA_ONLY because 0.45455 passes the range check (rwpng.c:264-268)
-        color_transform = COLOR_GAMA_ONLY
 
-    raw = zlib.decompress(bytes(idat))
     sample_bits = bit_depth * channels
+    if interlace == 0:
+        needed = height * ((width * sample_bits + 7) // 8 + 1)
+    else:
+        needed = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            w = (width - x0 + dx - 1) // dx if width > x0 else 0
+            h = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if w and h:
+                needed += h * ((w * sample_bits + 7) // 8 + 1)
+    raw = _inflate_idat(idat, needed)
 
     def read_subimage(buf: bytes, w: int, h: int) -> np.ndarray:
         rowbytes = (w * sample_bits + 7) // 8

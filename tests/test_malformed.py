@@ -1,0 +1,131 @@
+"""Malformed-PNG regression tests (round-3 verdict items Weak #1-2).
+
+The deterministic catalog in tools/malformed.py has one specimen per
+malformed-input class; this test asserts, for every specimen:
+  * neither codec crashes or leaks an untyped exception (the native codec
+    previously SIGABRT'd the process on a 91-byte dimension bomb where the
+    reference exits cleanly with code 24);
+  * native and pypng agree on accept/reject, and on decoded pixels +
+    metadata when both accept;
+  * rejections carry the rwpng.h exit code the reference would use.
+When the reference toolchain is available the oracle's accept/reject and
+exit codes are asserted too (byte-level output parity over the whole
+catalog is covered by tools/malformed_probe.py --pixels and the
+--malformed fuzzer; see BASELINE.md).
+"""
+
+import hashlib
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from malformed import catalog, base_palette, with_chunk_at  # noqa: E402
+
+from pngloss_tpu.codec import native, pypng  # noqa: E402
+
+CASES = catalog()
+
+
+def _img_state(img):
+    meta = (img.rgba.shape, round(img.gamma, 9), img.color_transform,
+            [(c.name, c.data, c.location) for c in img.chunks])
+    return hashlib.sha224(img.rgba.tobytes() + repr(meta).encode()).hexdigest()
+
+
+def _decode(mod, data):
+    """(accepted, state_or_error)."""
+    try:
+        return True, _img_state(mod.decode(data))
+    except pypng.PngDecodeError as e:
+        return False, int(getattr(e, "exit_code", 25))
+
+
+@pytest.mark.parametrize("name,png", CASES, ids=[n for n, _ in CASES])
+def test_codecs_agree(name, png):
+    ok_py, res_py = _decode(pypng, png)
+    if native.available():
+        ok_nat, res_nat = _decode(native, png)
+        assert ok_nat == ok_py, f"accept/reject split: native={ok_nat} pypng={ok_py}"
+        assert res_nat == res_py, "decoded state (or exit code) differs"
+
+
+def test_dimension_bomb_is_clean_exit_24():
+    # round-3 verdict repro: 100000x100000 header previously escaped
+    # std::bad_alloc through the ctypes boundary -> SIGABRT of the process
+    bomb = dict(CASES)["dims_bomb_100k"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        with pytest.raises(pypng.PngDecodeError) as ei:
+            mod.decode(bomb)
+        assert ei.value.exit_code == 24
+
+
+def test_trns_longer_than_palette_is_discarded():
+    # round-3 verdict repro: libpng discards the malformed tRNS -> opaque;
+    # the old native codec applied it (color-type-6 output, parity break)
+    png = dict(CASES)["trns_longer_than_palette"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        img = mod.decode(png)
+        assert np.all(img.rgba[:, :, 3] == 255)
+
+
+def test_palette_index_oob_decodes_black():
+    png = dict(CASES)["palette_index_oob"]
+    img = pypng.decode(png)
+    oob = img.rgba[(img.rgba[:, :, :3] == 0).all(axis=2)]
+    assert len(oob) > 0  # indices 4..7 hit the calloc'd palette tail
+
+
+def test_ancillary_crc_bad_chunk_is_kept():
+    # unknown-path chunks are stored by rwpng's callback before libpng sees
+    # the CRC result -> kept despite the error
+    png = dict(CASES)["ancillary_crc_bad"]
+    img = pypng.decode(png)
+    assert any(c.name == b"tEXt" for c in img.chunks)
+
+
+def test_strip_mode_rejects_unknown_critical():
+    png = dict(CASES)["unknown_critical"]
+    assert pypng.decode(png, strip=False)  # kept path accepts
+    with pytest.raises(pypng.PngDecodeError):
+        pypng.decode(png, strip=True)
+    if native.available():
+        with pytest.raises(pypng.PngDecodeError):
+            native.decode(png, strip=True)
+
+
+def test_post_idat_chunks_not_kept():
+    png = with_chunk_at(base_palette(), 3, b"tEXt", b"k\x00v")
+    img = pypng.decode(png)
+    assert not any(c.name == b"tEXt" for c in img.chunks)
+
+
+ORACLE = "/tmp/pngloss_oracle/pngloss"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(ORACLE) or (shutil.which("gcc")
+         and os.path.exists("/root/reference/src/rwpng.c"))),
+    reason="reference toolchain unavailable")
+def test_oracle_accept_reject_and_exit_code_parity():
+    if not os.path.exists(ORACLE):
+        import glob
+        os.makedirs(os.path.dirname(ORACLE), exist_ok=True)
+        subprocess.run(["gcc", "-O2", "-o", ORACLE,
+                        *glob.glob("/root/reference/src/*.c"),
+                        "-lpng", "-lz", "-lm"], check=True)
+    bad = []
+    for name, png in CASES:
+        r = subprocess.run([ORACLE, "-f", "-s", "19", "-b", "2", "-"],
+                           input=png, capture_output=True, timeout=120)
+        ok_py, res_py = _decode(pypng, png)
+        if ok_py != (r.returncode == 0):
+            bad.append(f"{name}: accept split ours={ok_py} oracle rc={r.returncode}")
+        elif not ok_py and res_py != r.returncode:
+            bad.append(f"{name}: exit code ours={res_py} oracle={r.returncode}")
+    assert not bad, "\n".join(bad)
