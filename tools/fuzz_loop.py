@@ -143,6 +143,127 @@ def run_worker(seed: int, cases: int, out_path: str | None,
     return mismatches
 
 
+def run_malformed_worker(seed: int, cases: int, out_path: str | None,
+                         oracle: str) -> int:
+    """Differential malformed-input fuzz: mutate valid PNGs, then assert for
+    every case (round-3 verdict item 1d):
+      * neither of our codecs crashes or leaks an untyped exception,
+      * native and pypng agree on accept/reject AND decoded state,
+      * accept/reject + exit code + output bytes match the oracle
+        (including --strip mode, which changes acceptance rules).
+    Returns the mismatch count."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import hashlib
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from malformed import catalog, mutate, random_base
+
+    from pngloss_tpu.codec import native, pypng
+    from pngloss_tpu.pipeline import compress_many
+
+    rng = np.random.default_rng(seed)
+    bleed = int(rng.choice([1, 2, 3, 17, 32767]))
+    cat = catalog()
+
+    def decode_state(mod, data, strip):
+        """(accepted, state-hash or exit-code). PngDecodeError is the ONLY
+        acceptable failure; anything else is an untyped leak -> crash."""
+        try:
+            img = mod.decode(data, strip=strip)
+        except pypng.PngDecodeError as e:
+            return False, int(getattr(e, "exit_code", 25))
+        meta = (img.rgba.shape, round(img.gamma, 9), img.color_transform,
+                [(c.name, c.data, c.location) for c in img.chunks])
+        return True, hashlib.sha224(
+            img.rgba.tobytes() + repr(meta).encode()).hexdigest()[:20]
+
+    specs = []
+    for i in range(cases):
+        if rng.random() < 0.06:
+            kinds, png = ["catalog"], cat[int(rng.integers(0, len(cat)))][1]
+        else:
+            png = random_base(rng)
+            kinds = []
+            for _ in range(int(rng.integers(1, 4))):
+                k, png = mutate(png, rng)
+                kinds.append(k)
+        strip = bool(rng.random() < 0.25)
+        strength = int(rng.integers(0, 256))
+        specs.append({"png": png, "strip": strip, "strength": strength,
+                      "kinds": kinds})
+
+    # oracle + decode-level cross-checks per case
+    for sp in specs:
+        cmd = [oracle, "-f", "-s", str(sp["strength"]), "-b", str(bleed)]
+        if sp["strip"]:
+            cmd.append("--strip")
+        r = subprocess.run(cmd + ["-"], input=sp["png"],
+                           capture_output=True, timeout=300)
+        sp["oracle_rc"], sp["oracle_out"] = r.returncode, r.stdout
+        sp["py"] = decode_state(pypng, sp["png"], sp["strip"])
+        sp["nat"] = decode_state(native, sp["png"], sp["strip"]) \
+            if native.available() else sp["py"]
+
+    # full-pipeline byte compare, batched per strip group
+    for strip in (False, True):
+        grp = [sp for sp in specs if sp["strip"] == strip]
+        if not grp:
+            continue
+        outs = compress_many([sp["png"] for sp in grp],
+                             [sp["strength"] for sp in grp], bleed,
+                             strip=strip)
+        for sp, res in zip(grp, outs):
+            sp["res"] = res
+
+    mismatches = 0
+    recs = []
+    for i, sp in enumerate(specs):
+        res = sp["res"]
+        problems = []
+        if sp["nat"] != sp["py"]:
+            problems.append(f"native={sp['nat']} pypng={sp['py']}")
+        if sp["oracle_rc"] == 0:
+            if res.error is not None:
+                problems.append(f"ours rejected ({res.error!r}), oracle accepted")
+            elif res.data != sp["oracle_out"]:
+                problems.append(f"output bytes differ ({len(res.data)} vs "
+                                f"{len(sp['oracle_out'])})")
+        else:
+            if res.error is None:
+                problems.append(f"ours accepted, oracle rc={sp['oracle_rc']}")
+            else:
+                code = int(getattr(res.error, "exit_code", 25))
+                if code != sp["oracle_rc"]:
+                    problems.append(f"exit code ours={code} "
+                                    f"oracle={sp['oracle_rc']}")
+        rec = {"seed": seed, "case": i, "mode": "malformed",
+               "kinds": sp["kinds"], "strip": sp["strip"],
+               "strength": sp["strength"], "bleed": bleed,
+               "oracle_rc": sp["oracle_rc"],
+               "byte_identical": not problems}
+        if problems:
+            mismatches += 1
+            rec["problems"] = problems
+            if out_path:
+                bad = f"{out_path}.seed{seed}case{i}.png"
+                with open(bad, "wb") as f:
+                    f.write(sp["png"])
+                rec["input_saved"] = bad
+        recs.append(rec)
+    if out_path:
+        with open(out_path, "a") as f:
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
+    else:
+        for rec in recs:
+            print(json.dumps(rec))
+    return mismatches
+
+
 def run_deflate(args) -> int:
     """Differential-fuzz the fast deflate clone vs the system zlib.
 
@@ -199,6 +320,8 @@ def run_driver(args) -> int:
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--seed", str(seed), "--cases", str(cases),
                "--oracle", oracle, "--impl", args.impl]
+        if args.malformed:
+            cmd.append("--malformed")
         if args.out:
             cmd += ["--out", args.out]
         before = _line_count(args.out)
@@ -251,6 +374,11 @@ def main() -> None:
     ap.add_argument("--deflate", action="store_true",
                     help="differential-fuzz the native fast-deflate clone "
                          "vs the system zlib (no oracle/JAX involved)")
+    ap.add_argument("--malformed", action="store_true",
+                    help="differential-fuzz MALFORMED inputs: mutate valid "
+                         "PNGs and assert crash-freedom, native<->pypng "
+                         "agreement, and accept/reject + exit-code + output-"
+                         "byte parity vs the oracle")
     args = ap.parse_args()
     if not args.worker and not args.total and not args.duration:
         args.total = 1024
@@ -259,8 +387,12 @@ def main() -> None:
     if args.worker:
         sys.path.insert(0, REPO)
         try:
-            n = run_worker(args.seed, args.cases, args.out,
-                           build_oracle(args.oracle), impl=args.impl)
+            if args.malformed:
+                n = run_malformed_worker(args.seed, args.cases, args.out,
+                                         build_oracle(args.oracle))
+            else:
+                n = run_worker(args.seed, args.cases, args.out,
+                               build_oracle(args.oracle), impl=args.impl)
         except Exception:
             import traceback
 

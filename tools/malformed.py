@@ -362,7 +362,19 @@ def random_base(rng: np.random.Generator) -> bytes:
 
 
 def mutate(png: bytes, rng: np.random.Generator) -> tuple[str, bytes]:
-    """One random structural or byte-level mutation of a valid PNG."""
+    """One random structural or byte-level mutation of a PNG.  Structural
+    mutations need a parseable container; once an earlier mutation broke
+    that, fall back to byte-level mutation."""
+    try:
+        return _mutate(png, rng)
+    except Exception:
+        data = bytearray(png) or bytearray(b"\x00")
+        i = int(rng.integers(0, len(data)))
+        data[i] ^= 1 << int(rng.integers(0, 8))
+        return "bitflip", bytes(data)
+
+
+def _mutate(png: bytes, rng: np.random.Generator) -> tuple[str, bytes]:
     kind = rng.choice([
         "bitflip", "truncate", "len_lie", "crc_flip", "dup_chunk",
         "drop_chunk", "insert_chunk", "swap_chunks", "ihdr_field",
