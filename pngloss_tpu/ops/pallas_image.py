@@ -32,6 +32,7 @@ back to the per-row path).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,17 @@ from pngloss_tpu.ops.pallas_row import (
     _tdiv_pos,
     _tdiv_shift,
 )
+
+
+# Ablation switch for tools/ablate.py ONLY (docs/ROOFLINE.md's budget
+# table): "nosel" takes the original symbol without the windowed argmax,
+# "noupdate" freezes the adaptive histogram, "both" does both.  Each
+# variant INTENTIONALLY breaks byte parity; production must run with the
+# variable unset (ablate.py isolates each variant in its own process, so
+# in-process program caches never mix variants).
+_ABLATE = os.environ.get("PNGLOSS_ABLATE", "")
+_ABLATE_NOSEL = _ABLATE in ("nosel", "both")
+_ABLATE_NOUPDATE = _ABLATE in ("noupdate", "both")
 
 
 def _roll_bcast(x, b: int):
@@ -205,7 +217,9 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
             width = width8[c:c + 1, :]
             u_orig = u_orig8[c:c + 1, :]
             hist = hist_s[:, :]
-            if wmax:
+            if _ABLATE_NOSEL:
+                sel = jnp.full_like(u_orig, -1)  # ablation: skip selection
+            elif wmax:
                 # small-strength fast path: barrel-rotate the window to
                 # rows [0, width] so the selection reductions sweep
                 # ~(wmax+9) rows instead of 256 (width <= strength <= wmax,
@@ -235,7 +249,8 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                 sym_byte = jnp.where(
                     transp, (0 - pred8[c:c + 1, :]) & 0xFF, sym_byte)
 
-            hist_s[:, :] = hist + (iota_t == sym_byte) * (256 * cmask)
+            if not _ABLATE_NOUPDATE:
+                hist_s[:, :] = hist + (iota_t == sym_byte) * (256 * cmask)
             back8 = jnp.where(ri8 == c, back_c, back8)
 
         qrow_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back8

@@ -1,0 +1,170 @@
+"""Roofline ablation harness — regenerates docs/ROOFLINE.md's kernel
+budget table in one command (round-3 verdict item 2: the table's evidence
+must be reproducible from the tree, like every other claim in this repo).
+
+Variants of the whole-image kernel (ops/pallas_image.py), each measured
+with bench.py's in-program-slope methodology (lax.scan over k perturbed
+iterations inside ONE dispatch; cluster of trials, not the lucky min):
+
+  full      production kernel, rotated window (wmax class for -s 19)
+  nosel     selection+rotation removed (PNGLOSS_ABLATE=nosel)
+  noupdate  histogram update removed   (PNGLOSS_ABLATE=noupdate)
+  both      both removed = skeleton    (PNGLOSS_ABLATE=both)
+  dense     full kernel, dense selection (wmax=0 — the >63-strength path)
+
+Every variant runs in its OWN subprocess: the ablation env var is read at
+kernel trace time, and isolating processes keeps in-process program
+caches from mixing variants.  nosel/noupdate/both intentionally break
+byte parity — they exist only to attribute device time.
+
+Usage:
+  python tools/ablate.py                # all variants, markdown table
+  python tools/ablate.py --variants full,dense
+  python tools/ablate.py --json out.json
+Bench only on an idle box (working notes): a concurrent process poisons
+timing.  Through the TPU tunnel each variant's first compile can take
+1-6 min; the persistent XLA cache makes re-runs fast.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+VARIANTS = {
+    # name -> (PNGLOSS_ABLATE value, force_dense)
+    "full": ("", False),
+    "nosel": ("nosel", False),
+    "noupdate": ("noupdate", False),
+    "both": ("both", False),
+    "dense": ("", True),
+}
+
+
+def run_worker(variant: str, force_dense: bool) -> None:
+    """One variant's slope measurement; prints a single JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    import functools
+
+    sys.path.insert(0, REPO)
+    import bench
+    from pngloss_tpu import codec
+    from pngloss_tpu.ops import optimize_batch_auto
+    from pngloss_tpu.ops.optimize import band_pad_for
+    from pngloss_tpu.ops.optimize_pallas import wmax_class_for
+
+    strength = int(os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
+    lena = open("/root/reference/suite/lena.png", "rb").read()
+    from pngloss_tpu.pipeline import reduce_colorspace
+
+    work, bpp = reduce_colorspace(codec.decode(lena).rgba)
+    rng = np.random.default_rng(0)
+    chunk_b = 25
+    batch = np.stack([work] * chunk_b)
+    batch[:, :, : 4 * bpp] = rng.integers(
+        0, 256, (chunk_b, work.shape[0], 4 * bpp), np.uint8)
+    chunk_mp = chunk_b * work.shape[0] * (work.shape[1] // bpp) / 1e6
+
+    batch_dev = jax.device_put(jnp.asarray(batch))
+    band_pad = band_pad_for(strength)
+    wmax = 0 if force_dense else wmax_class_for(strength)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def prog(rows, *, k: int):
+        def step(acc, i):
+            r = rows.at[:, 0, 0].set(i)
+            q, f = optimize_batch_auto(r, strength, 2, bpp=bpp,
+                                       band_pad=band_pad, wmax=wmax)
+            return (acc + jnp.sum(q.astype(jnp.int32))
+                    + jnp.sum(f.astype(jnp.int32))), None
+        acc, _ = lax.scan(step, jnp.int32(0), jnp.arange(k, dtype=jnp.uint8))
+        return acc
+
+    def run_k(k):
+        return float(prog(batch_dev, k=k))
+
+    t0 = time.time()
+    run_k(1)
+    run_k(4)
+    compile_s = time.time() - t0
+    trials = int(os.environ.get("PNGLOSS_BENCH_TRIALS", "5"))
+    slopes = bench._measure_slopes(run_k, trials)
+    slope = bench._cluster_slope(slopes)
+    print(json.dumps({
+        "variant": variant, "slope_s_per_chunk": round(slope, 4),
+        "chunk_mp": round(chunk_mp, 3),
+        "mp_per_s": round(chunk_mp / slope, 2),
+        "wmax": wmax, "strength": strength,
+        "compile_plus_first_s": round(compile_s, 1),
+        "trial_slopes": [round(s, 4) for s in slopes],
+        "backend": jax.default_backend(),
+    }))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--worker", default=None, help="internal: variant name")
+    ap.add_argument("--variants", default=",".join(VARIANTS),
+                    help="comma-separated subset")
+    ap.add_argument("--json", default=None, help="also write results here")
+    args = ap.parse_args()
+
+    if args.worker:
+        ablate, dense = VARIANTS[args.worker]
+        assert os.environ.get("PNGLOSS_ABLATE", "") == ablate
+        run_worker(args.worker, dense)
+        return 0
+
+    results = []
+    for name in args.variants.split(","):
+        ablate, _ = VARIANTS[name]
+        env = dict(os.environ, PYTHONPATH=REPO)
+        if ablate:
+            env["PNGLOSS_ABLATE"] = ablate
+        else:
+            env.pop("PNGLOSS_ABLATE", None)
+        print(f"# measuring {name} ...", file=sys.stderr)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", name],
+            env=env, capture_output=True, text=True, timeout=1800)
+        if r.returncode != 0:
+            print(r.stdout + r.stderr, file=sys.stderr)
+            return 2
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+        print(f"#   {name}: {rec['slope_s_per_chunk']} s/chunk "
+              f"({rec['mp_per_s']} MP/s)", file=sys.stderr)
+        results.append(rec)
+
+    by = {r["variant"]: r for r in results}
+    print("\n| variant | s/chunk | attribution |")
+    print("|---|---|---|")
+    full = by.get("full", {}).get("slope_s_per_chunk")
+    for r in results:
+        attr = ""
+        s = r["slope_s_per_chunk"]
+        if full:
+            if r["variant"] == "nosel":
+                attr = f"rotation+selection ≈ {full - s:.3f}"
+            elif r["variant"] == "noupdate":
+                attr = f"update ≈ {full - s:.3f}"
+            elif r["variant"] == "both":
+                attr = f"skeleton ≈ {s:.3f}"
+            elif r["variant"] == "dense":
+                attr = f"dense selection ≈ +{s - full:.3f} vs rotated"
+        print(f"| {r['variant']} (wmax={r['wmax']}) | {s} | {attr} |")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
