@@ -141,3 +141,61 @@ def test_rejects_bad_inputs(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{server}/nope", timeout=30)
     assert e.value.code == 404
+
+
+def test_hostile_uploads_cannot_take_down_the_service(server, oracle):
+    """Round-3 verdict item 6: with the decoder hardening landed, a
+    crafted upload that passes the 3000x3000 IHDR pre-check must produce
+    a clean HTTP error (the reference isolates via exec.Command,
+    pnglossapi.go:552-556; in-process is fine iff the codec provably
+    cannot abort) — and the service must keep serving afterwards."""
+    import os
+    import struct
+    import sys
+    import zlib
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from malformed import (base_palette, build, catalog, corrupt_crc,
+                           make_ihdr, with_chunk_at)
+
+    hostile = dict(catalog())
+    # a sub-pre-check dimension lie: 2900x2900 declared, 64 bytes of data
+    # (the same class that used to SIGABRT the whole process at 100000^2)
+    cases = [
+        build([(b"IHDR", make_ihdr(2900, 2900, 8, 6)),
+               (b"IDAT", zlib.compress(b"\x00" * 64, 9)),
+               (b"IEND", b"")]),
+        hostile["trns_longer_than_palette"],
+        hostile["idat_truncated_stream"],
+        hostile["ihdr_duplicate"],
+        hostile["scanline_filter_255"],
+        corrupt_crc(base_palette(), b"PLTE"),
+        with_chunk_at(base_palette(), 1, b"gAMA", struct.pack(">I", 10**9)),
+    ]
+    for i, png in enumerate(cases):
+        try:
+            resp = _post_multipart(f"{server}/compress.cgi", {
+                "file": png, "strength": b"19", "bleed": b"2",
+                "strip": b"0"})
+            # some hostile cases are VALID per libpng (e.g. oversized tRNS
+            # is discarded) — those must succeed, not 500
+            assert resp.status == 200, f"case {i}"
+        except urllib.error.HTTPError as e:
+            # decode failures surface as the reference's 500 "compression
+            # failed" (pnglossapi.go:396); pre-check failures as 4xx —
+            # either way a clean HTTP error, never a dead worker
+            assert 400 <= e.code <= 500, f"case {i}: {e.code}"
+
+    # the service survived: a good upload still round-trips byte-identically
+    rose = open(ROSE, "rb").read()
+    resp = _post_multipart(f"{server}/compress.cgi", {
+        "file": rose, "strength": b"40", "bleed": b"2", "strip": b"0"})
+    assert resp.status == 200
+    sum224 = base64.urlsafe_b64encode(hashlib.sha224(rose).digest()).decode()
+    data = urllib.request.urlopen(
+        f"{server}/compressed.cgi?sum224={sum224}&strength=40&bleed=2&strip=0",
+        timeout=300).read()
+    ref = subprocess.run([oracle, "-f", "-s", "40", "-b", "2", "-"],
+                         input=rose, capture_output=True).stdout
+    assert data == ref
