@@ -488,15 +488,27 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
     # whose native integer division is exact for all int32. Hop count =
     # rows + intra-row chain (one hop per 3 columns).
     hops = rows.shape[1] + wb // bpp // 3
-    if (hops > 4000
-            and not isinstance(rows, jax.core.Tracer)
-            and not isinstance(bleed, jax.core.Tracer)
-            and int(bleed) == 1):
-        from pngloss_tpu.ops.optimize import optimize_batch
+    if hops > 4000:
+        if isinstance(bleed, jax.core.Tracer):
+            # the guard cannot be evaluated: a traced bleed COULD be 1 at
+            # runtime, silently losing _tdiv_pos bit-exactness. mesh.py
+            # pre-routes its shard_map entry host-side; any other traced
+            # caller must do the same (advisor finding r3#2)
+            raise ValueError(
+                "optimize_batch_pallas: bleed is traced and the image has "
+                ">4000 dependency hops, so the bleed==1 exactness reroute "
+                "cannot be evaluated. Pre-route bleed==1 calls to "
+                "impl='xla' before jitting (see parallel/mesh.py), or pass "
+                "a concrete bleed.")
+        if int(bleed) == 1:
+            # pure-XLA path: exact native integer division; traceable, so
+            # the reroute is safe even when rows is a tracer
+            from pngloss_tpu.ops.optimize import optimize_batch
 
-        return optimize_batch(
-            rows, strength, bleed, bpp=bpp, use_row_filters=use_row_filters,
-            band_pad=band_pad, w_real=w_real, h_real=h_real)
+            return optimize_batch(
+                rows, strength, bleed, bpp=bpp,
+                use_row_filters=use_row_filters,
+                band_pad=band_pad, w_real=w_real, h_real=h_real)
     # strength may be a scalar or per-image array (the kernel's band math is
     # per-lane, so mixed strengths batch together — the reference suite's
     # 1,089 sequential invocations become a handful of dispatches)

@@ -193,3 +193,25 @@ def test_nonpacked_big_image_path(monkeypatch):
                                  (2, 7, 17)):
         rows = rng.integers(0, 256, size=(2, 5, 6 * bpp), dtype=np.uint8)
         _check(rows, bpp, strength, bleed)
+
+
+def test_traced_bleed_tall_image_raises():
+    """Advisor finding r3#2: a traced bleed on a >4000-hop image cannot
+    evaluate the bleed==1 exactness reroute — must raise at trace time,
+    not silently lose bit-exactness."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from pngloss_tpu.ops.optimize_pallas import optimize_batch_pallas
+
+    rows = jnp.zeros((1, 4100, 8), jnp.uint8)
+    with pytest.raises(ValueError, match="bleed is traced"):
+        jax.jit(lambda r, b: optimize_batch_pallas(
+            r, 19, b, bpp=1, band_pad=64, interpret=True))(rows, jnp.int32(2))
+
+    # concrete bleed==1 on the same shape reroutes (even under jit of rows)
+    q, f = optimize_batch_pallas(np.zeros((1, 4100, 8), np.uint8), 19, 1,
+                                 bpp=1, band_pad=64, interpret=True)
+    assert q.shape == (1, 4100, 8)
