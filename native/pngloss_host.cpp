@@ -116,49 +116,72 @@ bool parse_chunks(const uint8_t* blob, size_t len, std::vector<KeptChunk>* out) 
 // ---------------------------------------------------------------------------
 
 // Inflate the IDAT run with libpng's termination semantics (verified
-// empirically against the reference tool): the zlib stream must reach a
-// valid Z_STREAM_END (incl. adler32) within the run — a one-byte cut is
-// "Not enough image data"; input after the stream end is ignored; output
-// beyond `needed` is discarded, bounding memory on decompression bombs.
+// empirically against the reference tool; the two-phase split mirrors
+// libpng's png_read_IDAT_data(output) / png_read_finish_IDAT(NULL)):
+//   MAIN phase (until `needed` output bytes): any zlib error is fatal —
+//   including a bad adler32 reachable without further output space, since
+//   inflate() runs through no-output states (block end, check) within the
+//   call that produced the last row byte (avail_out spans all of `needed`).
+//   FINISH phase (rows complete, stream not ended): remaining input is
+//   swallowed with output discarded; zlib errors here are BENIGN (damaged
+//   tail after the image is tolerated), but running out of input before
+//   the stream ends is still "Not enough image data".
 // Returns 0 ok, 1 not-enough/unterminated, 2 incorrect data check, 3 invalid.
 int inflate_idat(const std::vector<uint8_t>& in, size_t needed,
                  std::vector<uint8_t>* out) {
   z_stream zs{};
   if (inflateInit(&zs) != Z_OK) return 3;
-  out->clear();
-  out->reserve(needed < (size_t(1) << 24) ? needed : (size_t(1) << 24));
-  std::vector<uint8_t> buf(1 << 16);
-  zs.next_in = const_cast<uint8_t*>(in.data());
-  zs.avail_in = uInt(in.size() > 0xFFFFFFFFu ? 0xFFFFFFFFu : in.size());
-  size_t fed = zs.avail_in;
-  int ret = Z_OK;
-  do {
-    zs.next_out = buf.data();
-    zs.avail_out = uInt(buf.size());
-    ret = inflate(&zs, Z_NO_FLUSH);
-    if (ret != Z_OK && ret != Z_STREAM_END) {
-      inflateEnd(&zs);
-      return ret == Z_DATA_ERROR && zs.msg &&
-                     std::strstr(zs.msg, "check") != nullptr
-                 ? 2
-                 : 3;
-    }
-    size_t got = buf.size() - zs.avail_out;
-    if (out->size() < needed) {
-      size_t take = needed - out->size();
-      if (take > got) take = got;
-      out->insert(out->end(), buf.data(), buf.data() + take);
-    }
-    if (zs.avail_in == 0 && fed < in.size()) {
+  out->resize(needed);
+  std::vector<uint8_t> scratch;
+  zs.next_out = out->data();
+  size_t out_left = needed;
+  zs.avail_out = uInt(out_left > 0xFFFFFFF0u ? 0xFFFFFFF0u : out_left);
+  out_left -= zs.avail_out;
+  size_t fed = 0;
+  bool finish_phase = false;
+  for (;;) {
+    if (zs.avail_in == 0) {
+      if (fed >= in.size()) {
+        inflateEnd(&zs);
+        return 1;  // input exhausted before stream end (either phase)
+      }
       size_t chunk = in.size() - fed;
       if (chunk > 0xFFFFFFFFu) chunk = 0xFFFFFFFFu;
       zs.next_in = const_cast<uint8_t*>(in.data() + fed);
       zs.avail_in = uInt(chunk);
       fed += chunk;
     }
-  } while (ret != Z_STREAM_END && (zs.avail_in > 0 || zs.avail_out == 0));
-  inflateEnd(&zs);
-  return ret == Z_STREAM_END ? 0 : 1;
+    if (zs.avail_out == 0) {
+      if (!finish_phase && out_left > 0) {
+        // >4 GiB outputs: extend the main-phase window
+        zs.avail_out = uInt(out_left > 0xFFFFFFF0u ? 0xFFFFFFF0u : out_left);
+        out_left -= zs.avail_out;
+      } else {
+        finish_phase = true;
+        if (scratch.empty()) scratch.resize(1 << 16);
+        zs.next_out = scratch.data();
+        zs.avail_out = uInt(scratch.size());
+      }
+    }
+    int ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret == Z_STREAM_END) {
+      bool complete = finish_phase || (out_left == 0 && zs.avail_out == 0);
+      inflateEnd(&zs);
+      return complete ? 0 : 1;  // early end = "Not enough image data"
+    }
+    if (ret != Z_OK && ret != Z_BUF_ERROR) {
+      inflateEnd(&zs);
+      if (finish_phase) return 0;  // benign: image data already complete
+      return ret == Z_DATA_ERROR && zs.msg &&
+                     std::strstr(zs.msg, "check") != nullptr
+                 ? 2
+                 : 3;
+    }
+    if (ret == Z_BUF_ERROR && zs.avail_in == 0 && fed >= in.size()) {
+      inflateEnd(&zs);
+      return 1;
+    }
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -454,13 +477,22 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       have_endpoints = true;
     } else if (is_known_handled(name) || (strip && is_kept_known(name))) {
       // iCCP/sBIT/bKGD/hIST/tIME/oFFs/pCAL/sCAL/sPLT/sTER/eXIf/acTL/fcTL/
-      // fdAT (+ keep-list under strip): handled by libpng, never re-emitted
+      // fdAT (+ keep-list under strip): handled by libpng, never re-emitted.
+      // Bug-compat: a zero-length tEXt/iTXt before IDAT trips a
+      // read-past-EOF in this libpng build under strip (zTXt doesn't).
+      if (strip && length == 0 && !seen_idat &&
+          (std::memcmp(name, "tEXt", 4) == 0 ||
+           std::memcmp(name, "iTXt", 4) == 0))
+        return fail("Read error");
       continue;
     } else {
       // unknown path (read_chunk_callback + libpng write-side policy):
       // keep iff safe-to-copy, after IHDR (location != 0), before IDAT
       if (strip) {
-        if (!ancillary) return fail("unhandled critical chunk");
+        // no keep-callback under strip: unknown CRITICAL chunks are fatal
+        // in png_read_info but tolerated after IDAT (read_end)
+        if (!ancillary && !seen_idat)
+          return fail(std::string(name) + ": unhandled critical chunk");
         continue;
       }
       if (!have_ihdr || seen_idat) continue;

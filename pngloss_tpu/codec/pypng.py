@@ -331,27 +331,43 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def _inflate_idat(idat: bytes, needed: int) -> bytes:
     """Inflate the IDAT run with libpng's termination semantics (verified
-    empirically vs the oracle): the zlib stream must reach a valid end
-    (Z_STREAM_END incl. adler32) within the run — even a one-byte cut is
-    "Not enough image data"; bytes after the stream end are ignored; output
-    beyond `needed` is discarded (bounding memory on decompression bombs)."""
+    empirically vs the oracle; the two-phase split mirrors libpng's
+    png_read_IDAT_data(output)/png_read_finish_IDAT(NULL) calls):
+
+    MAIN phase (until `needed` output bytes): any zlib error is fatal —
+    including a bad adler32 reachable without further output space, since
+    inflate() runs through no-output states (block end, check) within the
+    call that produced the last row byte.
+
+    FINISH phase (rows complete, stream not yet ended): remaining input is
+    swallowed with output discarded; zlib errors here are BENIGN (libpng
+    png_chunk_benign_error of zstream.msg with output == NULL) — a damaged
+    tail after the image data is tolerated — but running out of input
+    before the stream ends is still "Not enough image data" (a one-byte
+    cut of the trailer is fatal).  Output beyond `needed` is discarded,
+    bounding memory on decompression bombs."""
     d = zlib.decompressobj()
-    out = bytearray()
-    tail = bytes(idat)
     try:
-        while tail and not d.eof:
-            got = d.decompress(tail, 1 << 20)
-            if len(out) < needed:
-                out += got[: needed - len(out)]
-            tail = d.unconsumed_tail
+        out = d.decompress(bytes(idat), needed)
     except zlib.error as e:
         msg = str(e)
-        if "-3" in msg and "check" in msg.lower():
+        if "check" in msg.lower():
             raise PngDecodeError("IDAT: incorrect data check") from e
         raise PngDecodeError("IDAT: invalid stream") from e
-    if not d.eof:
+    if len(out) < needed:
         raise PngDecodeError("Not enough image data")
-    return bytes(out)
+    if not d.eof:
+        tail = d.unconsumed_tail
+        try:
+            while tail and not d.eof:
+                d.decompress(tail, 1 << 20)  # discard
+                tail = d.unconsumed_tail
+        except zlib.error:
+            pass  # benign: damaged data after the image is complete
+        else:
+            if not d.eof:
+                raise PngDecodeError("Not enough image data")
+    return out
 
 
 def decode(data: bytes, strip: bool = False) -> DecodedImage:
@@ -559,8 +575,17 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
             # unknown path (read_chunk_callback + libpng write-side policy):
             # keep iff safe-to-copy, after IHDR (location != 0), before IDAT
             if strip:
-                if not ancillary:
-                    raise PngDecodeError("unhandled critical chunk")
+                # no keep-callback under strip: unknown CRITICAL chunks are
+                # fatal in png_read_info but tolerated after IDAT (read_end)
+                if not ancillary and not seen_idat:
+                    raise PngDecodeError(
+                        f"{name.decode('latin-1')}: unhandled critical chunk")
+                # keep-listed chunks run their libpng handlers under strip;
+                # a zero-length tEXt/iTXt before IDAT trips a read-past-EOF
+                # in this libpng build (empirical bug-compat; zTXt doesn't)
+                if (name in (b"tEXt", b"iTXt") and length == 0
+                        and not seen_idat):
+                    raise PngDecodeError("Read error")
                 continue
             if not have_ihdr or seen_idat:
                 continue
