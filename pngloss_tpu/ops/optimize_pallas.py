@@ -341,7 +341,11 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
     return max_batch_image(w, bpp, band_pad, h=h) >= 1
 
 
-WMAX_CLASSES = (31, 63)
+# (15, 31, 63): strengths <= 15 sweep a 24-row rotated window instead of
+# 40 (round-4 verdict item 3a); beyond 63 the rotation's dense leading
+# stages outgrow the sweep saving (measured: tools/ablate.py --variants
+# s75_c127,s75_dense — see docs/ROOFLINE.md)
+WMAX_CLASSES = (15, 31, 63)
 
 
 def wmax_class_for(s_max: int) -> int:

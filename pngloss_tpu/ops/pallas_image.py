@@ -59,6 +59,11 @@ from pngloss_tpu.ops.pallas_row import (
 _ABLATE = os.environ.get("PNGLOSS_ABLATE", "")
 _ABLATE_NOSEL = _ABLATE in ("nosel", "both")
 _ABLATE_NOUPDATE = _ABLATE in ("noupdate", "both")
+# "rot16": run the barrel rotation on an int16 cast of the table (WRONG
+# results — packed keys need 31 bits) to measure the rotation's vreg-
+# traffic sensitivity: the measured saving upper-bounds what any exact
+# int16 base+delta histogram split could recover (verdict item 3b).
+_ABLATE_ROT16 = _ABLATE == "rot16"
 
 
 def _roll_bcast(x, b: int):
@@ -224,7 +229,11 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                 # rows [0, width] so the selection reductions sweep
                 # ~(wmax+9) rows instead of 256 (width <= strength <= wmax,
                 # guaranteed by the caller's class choice)
-                rot = _rotated_window(hist, start, wmax)
+                if _ABLATE_ROT16:
+                    rot = _rotated_window(
+                        hist.astype(jnp.int16), start, wmax).astype(jnp.int32)
+                else:
+                    rot = _rotated_window(hist, start, wmax)
                 iota_w = lax.broadcasted_iota(
                     jnp.int32, (rot.shape[0], 1), 0)
                 masked = jnp.where(iota_w <= width, rot, -1)

@@ -37,16 +37,27 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VARIANTS = {
-    # name -> (PNGLOSS_ABLATE value, force_dense)
-    "full": ("", False),
-    "nosel": ("nosel", False),
-    "noupdate": ("noupdate", False),
-    "both": ("both", False),
-    "dense": ("", True),
+    # name -> dict(ablate=PNGLOSS_ABLATE value, strength=None|int,
+    #              wmax=None (class for strength) | int (forced))
+    "full": dict(ablate="", strength=None, wmax=None),
+    "nosel": dict(ablate="nosel", strength=None, wmax=None),
+    "noupdate": dict(ablate="noupdate", strength=None, wmax=None),
+    "both": dict(ablate="both", strength=None, wmax=None),
+    "dense": dict(ablate="", strength=None, wmax=0),
+    # verdict item 3b bound: rotation on int16-cast table (wrong results,
+    # right traffic) — the saving upper-bounds any base+delta split
+    "rot16": dict(ablate="rot16", strength=None, wmax=None),
+    # verdict item 3a: the new <=15 class vs the old <=31 class at s=15
+    "w15_new": dict(ablate="", strength=15, wmax=15),
+    "w15_old": dict(ablate="", strength=15, wmax=31),
+    # verdict item 7: strengths 64-99 — would a <=127 rotation class beat
+    # the dense path they currently take?
+    "s75_dense": dict(ablate="", strength=75, wmax=0),
+    "s75_c127": dict(ablate="", strength=75, wmax=127),
 }
 
 
-def run_worker(variant: str, force_dense: bool) -> None:
+def run_worker(variant: str, spec: dict) -> None:
     """One variant's slope measurement; prints a single JSON line."""
     import jax
     import jax.numpy as jnp
@@ -61,7 +72,8 @@ def run_worker(variant: str, force_dense: bool) -> None:
     from pngloss_tpu.ops.optimize import band_pad_for
     from pngloss_tpu.ops.optimize_pallas import wmax_class_for
 
-    strength = int(os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
+    strength = spec["strength"] if spec["strength"] is not None else int(
+        os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
     lena = open("/root/reference/suite/lena.png", "rb").read()
     from pngloss_tpu.pipeline import reduce_colorspace
 
@@ -75,7 +87,8 @@ def run_worker(variant: str, force_dense: bool) -> None:
 
     batch_dev = jax.device_put(jnp.asarray(batch))
     band_pad = band_pad_for(strength)
-    wmax = 0 if force_dense else wmax_class_for(strength)
+    wmax = spec["wmax"] if spec["wmax"] is not None \
+        else wmax_class_for(strength)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def prog(rows, *, k: int):
@@ -112,23 +125,24 @@ def run_worker(variant: str, force_dense: bool) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--worker", default=None, help="internal: variant name")
-    ap.add_argument("--variants", default=",".join(VARIANTS),
-                    help="comma-separated subset")
+    ap.add_argument("--variants", default="full,nosel,noupdate,both,dense",
+                    help="comma-separated subset (extras: rot16, "
+                         "w15_new, w15_old, s75_dense, s75_c127)")
     ap.add_argument("--json", default=None, help="also write results here")
     args = ap.parse_args()
 
     if args.worker:
-        ablate, dense = VARIANTS[args.worker]
-        assert os.environ.get("PNGLOSS_ABLATE", "") == ablate
-        run_worker(args.worker, dense)
+        spec = VARIANTS[args.worker]
+        assert os.environ.get("PNGLOSS_ABLATE", "") == spec["ablate"]
+        run_worker(args.worker, spec)
         return 0
 
     results = []
     for name in args.variants.split(","):
-        ablate, _ = VARIANTS[name]
+        spec = VARIANTS[name]
         env = dict(os.environ, PYTHONPATH=REPO)
-        if ablate:
-            env["PNGLOSS_ABLATE"] = ablate
+        if spec["ablate"]:
+            env["PNGLOSS_ABLATE"] = spec["ablate"]
         else:
             env.pop("PNGLOSS_ABLATE", None)
         print(f"# measuring {name} ...", file=sys.stderr)
