@@ -132,8 +132,10 @@ def decode(data: bytes, strip: bool = False) -> DecodedImage:
                        ctypes.byref(gamma), ctypes.byref(transform),
                        ctypes.byref(chunks_p), ctypes.byref(chunks_len))
     if rc != 0:
-        # rc carries the rwpng.h pngloss_error (25 libpng-fatal, 24 OOM guard)
-        raise PngDecodeError(lib.pl_last_error().decode(),
+        # rc carries the rwpng.h pngloss_error (25 libpng-fatal, 24 OOM
+        # guard); error texts may quote raw bytes from a malformed chunk
+        # name, so decode defensively
+        raise PngDecodeError(lib.pl_last_error().decode("utf-8", "replace"),
                              exit_code=rc if rc in (24, 25) else 25)
     try:
         n = int(w.value) * int(h.value) * 4
