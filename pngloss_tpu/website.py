@@ -356,24 +356,60 @@ class Handler(BaseHTTPRequestHandler):
             self._gates["page"].release()
 
 
+class _UnixHTTPServer(ThreadingHTTPServer):
+    """HTTP over an AF_UNIX socket — the deployment contract of the
+    reference's FastCGI-on-unix-socket sidecar (pnglossapi.go:91-124):
+    a front server (nginx `proxy_pass http://unix:/path;`) owns the
+    public port and proxies to the socket.  HTTP-over-UDS is the modern
+    replacement for the FastCGI wire format with the same isolation."""
+
+    address_family = __import__("socket").AF_UNIX
+
+    def server_bind(self):
+        try:
+            os.unlink(self.server_address)
+        except OSError:
+            pass
+        super().server_bind()
+        self.server_name = "unix"
+        self.server_port = 0
+
+    def get_request(self):
+        # AF_UNIX accept() returns '' as client address; BaseHTTPServer
+        # expects a (host, port) pair for logging
+        sock, _ = self.socket.accept()
+        return sock, ("unix", 0)
+
+
 def make_server(port: int = 8117, store: str = "/tmp/pngloss_store",
-                prefix: str = "/") -> ThreadingHTTPServer:
+                prefix: str = "/",
+                unix_socket: str | None = None) -> ThreadingHTTPServer:
     originals = OriginalsOnDisk(store)
     handler = type("BoundHandler", (Handler,), dict(
         originals=originals,
         compresseds=CompressedsInMemory(originals),
         prefix=prefix,
     ))
+    if unix_socket:
+        return _UnixHTTPServer(unix_socket, handler)
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8117)
+    ap.add_argument("--socket", default=None, metavar="PATH",
+                    help="serve HTTP over this unix socket instead of a "
+                         "TCP port (behind nginx: proxy_pass "
+                         "http://unix:PATH;) — the reference sidecar's "
+                         "unix-socket deployment contract")
     ap.add_argument("--store", default="/tmp/pngloss_store")
     args = ap.parse_args(argv)
-    srv = make_server(args.port, args.store)
-    print(f"serving on http://127.0.0.1:{args.port}/")
+    srv = make_server(args.port, args.store, unix_socket=args.socket)
+    if args.socket:
+        print(f"serving on unix:{args.socket}")
+    else:
+        print(f"serving on http://127.0.0.1:{args.port}/")
     srv.serve_forever()
 
 

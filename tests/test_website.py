@@ -199,3 +199,31 @@ def test_hostile_uploads_cannot_take_down_the_service(server, oracle):
     ref = subprocess.run([oracle, "-f", "-s", "40", "-b", "2", "-"],
                          input=rose, capture_output=True).stdout
     assert data == ref
+
+
+def test_unix_socket_serving(tmp_path):
+    """The reference sidecar serves on a unix socket behind a front server
+    (pnglossapi.go:91-124); --socket provides the same deployment contract
+    as HTTP-over-UDS (nginx proxy_pass http://unix:PATH;)."""
+    import http.client
+    import socket as socketlib
+
+    from pngloss_tpu.website import make_server
+
+    path = str(tmp_path / "pngloss.sock")
+    srv = make_server(store=str(tmp_path / "store"), unix_socket=path)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        class UDSConnection(http.client.HTTPConnection):
+            def connect(self):
+                self.sock = socketlib.socket(socketlib.AF_UNIX)
+                self.sock.connect(path)
+
+        conn = UDSConnection("unix")
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200 and b"pngloss" in body
+    finally:
+        srv.shutdown()
