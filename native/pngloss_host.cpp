@@ -19,6 +19,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -404,10 +405,13 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       if (seen_idat) continue;
       if (have_plte) return fail("PLTE: duplicate");
       if (color_type == 0 || color_type == 4) continue;
-      if (length == 0 || length > 768 || length % 3) {
+      if (length > 768 || length % 3) {
         if (color_type == 3) return fail("PLTE: invalid");
         continue;
       }
+      // zero length passes the handler's length check (0 % 3 == 0) and is
+      // fatal in png_set_PLTE's num_palette == 0 guard, every color type
+      if (length == 0) return fail("Invalid palette");
       palette.assign(body, body + length);
       num_palette = length / 3;
       have_plte = true;
@@ -667,6 +671,10 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
     }
   }
 
+  // rwpng's read_chunk_callback PREPENDS kept chunks to a linked list
+  // (rwpng.c:152-153) and the writer walks it in order: emitted order is
+  // the REVERSE of read order within a location group
+  std::reverse(kept.begin(), kept.end());
   std::vector<uint8_t> blob;
   serialize_chunks(kept, blob);
   uint8_t* blob_out = nullptr;

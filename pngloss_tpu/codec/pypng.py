@@ -474,10 +474,15 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
                 raise PngDecodeError("PLTE: duplicate")
             if color_type in (0, 4):
                 continue  # "ignored in grayscale PNG"
-            if length == 0 or length > 768 or length % 3:
+            if length > 768 or length % 3:
                 if color_type == 3:
                     raise PngDecodeError("PLTE: invalid")
                 continue
+            if length == 0:
+                # a zero-length PLTE passes png_handle_PLTE's length check
+                # (0 % 3 == 0) and dies in png_set_PLTE's num_palette == 0
+                # guard — fatal for every color type that stores it
+                raise PngDecodeError("Invalid palette")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
             num_palette = length // 3
             have_plte = True
@@ -648,11 +653,14 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
         raise PngDecodeError(f"bad interlace method {interlace}")
 
     rgba = _samples_to_rgba(samples, color_type, bit_depth, palette, trns)
+    # rwpng's read_chunk_callback PREPENDS each kept chunk to a linked list
+    # (rwpng.c:152-153) and the writer walks that list in order, so the
+    # emitted order within a location group is the REVERSE of read order
     return DecodedImage(
         rgba=np.ascontiguousarray(rgba),
         gamma=gamma,
         color_transform=color_transform,
-        chunks=kept,
+        chunks=kept[::-1],
         file_size=len(data),
     )
 

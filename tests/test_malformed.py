@@ -99,6 +99,26 @@ def test_strip_mode_rejects_unknown_critical():
             native.decode(png, strip=True)
 
 
+def test_kept_chunk_order_is_reversed():
+    # round-4 fuzz repro (seed 97185): rwpng's read callback prepends each
+    # kept chunk to a linked list, so the emitted order is the reverse of
+    # the read order; we previously preserved input order (parity break)
+    png = dict(CASES)["two_kept_chunks_before_idat"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        names = [c.name for c in mod.decode(png).chunks]
+        assert names == [b"bbBb", b"aaAa"]
+
+
+def test_zero_length_plte_is_fatal_for_color_types():
+    # round-4 fuzz repro (seed 97193): libpng's png_set_PLTE errors on
+    # num_palette == 0 ("Invalid palette") -> rc 25; we previously accepted
+    png = dict(CASES)["plte_empty_truecolor"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        with pytest.raises(pypng.PngDecodeError) as ei:
+            mod.decode(png)
+        assert ei.value.exit_code == 25
+
+
 def test_post_idat_chunks_not_kept():
     png = with_chunk_at(base_palette(), 3, b"tEXt", b"k\x00v")
     img = pypng.decode(png)

@@ -186,6 +186,11 @@ def catalog() -> list[tuple[str, bytes]]:
     A(("interlace_2",
        replace_chunk(rgb, b"IHDR", make_ihdr(16, 12, 8, 2, interlace=2))))
 
+    # --- kept-chunk ordering (round-4 fuzz repro, seed 97185) ---
+    A(("two_kept_chunks_before_idat",
+       with_chunk_at(with_chunk_at(rgb, 1, b"aaAa", b"first"),
+                     2, b"bbBb", b"second")))
+
     # --- PLTE ---
     A(("plte_len_not_mult3", replace_chunk(pal, b"PLTE", b"\x01\x02\x03\x04")))
     A(("plte_missing_for_palette", drop_chunk(pal, b"PLTE")))
@@ -194,6 +199,10 @@ def catalog() -> list[tuple[str, bytes]]:
        build([parse(pal)[0], parse(pal)[2], parse(pal)[1], parse(pal)[3]])))
     A(("plte_in_gray", with_chunk_at(gray, 1, b"PLTE", b"\x10\x20\x30")))
     A(("plte_empty", replace_chunk(pal, b"PLTE", b"")))
+    A(("plte_empty_truecolor",  # round-4 fuzz repro (seed 97193): a zero-
+       # length PLTE passes the handler's length check and is fatal in
+       # png_set_PLTE ("Invalid palette"), even for non-palette color types
+       with_chunk_at(rgb, 1, b"PLTE", b"")))
     A(("plte_257_entries", replace_chunk(pal, b"PLTE", bytes(257 * 3))))
     A(("palette_index_oob",
        # indices reach 7 but only 4 palette entries are present
