@@ -101,44 +101,48 @@ def _measure_slopes(run_k, trials: int, k: int = 4) -> list[float]:
     return slopes
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
+def make_bench_batch(suite_dir: str = "/root/reference/suite",
+                     chunk_b: int = 25):
+    """The canonical slope workload — lena (512x512 RGB, the reference's
+    headline image) stacked chunk_b deep with an rng(0) byte-stripe
+    perturbation so batch lanes aren't value-identical.  ONE definition
+    shared with tools/prewarm.py and tools/ablate.py so every consumer
+    builds the identical array.  Returns (batch, bpp, chunk_mp)."""
     from pngloss_tpu import codec
-    from pngloss_tpu.ops import optimize_batch_auto
-    from pngloss_tpu.pipeline import (
-        collect_bucket,
-        dispatch_buckets,
-        reduce_colorspace,
-    )
+    from pngloss_tpu.pipeline import reduce_colorspace
 
-    strength = int(os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
-
-    # lena.png: 512x512 RGB — the reference's headline benchmark image
-    lena = open("/root/reference/suite/lena.png", "rb").read()
+    lena = open(os.path.join(suite_dir, "lena.png"), "rb").read()
     work, bpp = reduce_colorspace(codec.decode(lena).rgba)
     rng = np.random.default_rng(0)
-
-    # ---- device rate by dispatch slopes (one VMEM-quantum chunk) ----
-    chunk_b = 25
     batch = np.stack([work] * chunk_b)
-    # perturb a stripe so batch lanes aren't value-identical
     batch[:, :, : 4 * bpp] = rng.integers(
         0, 256, (chunk_b, work.shape[0], 4 * bpp), np.uint8)
     chunk_mp = chunk_b * work.shape[0] * (work.shape[1] // bpp) / 1e6
+    return batch, bpp, chunk_mp
 
+
+def make_slope_prog(batch_dev, strength: int, bpp: int, *,
+                    band_pad: int | None = None, wmax: int | None = None):
+    """The jitted k-iteration slope program: the production optimizer run
+    k times via lax.scan, inputs perturbed per step so XLA cannot CSE the
+    iterations, outputs sum-reduced to one scalar.  ONE definition shared
+    by bench.py, tools/prewarm.py and tools/ablate.py so their traces —
+    and therefore their persistent-compile-cache keys — stay identical.
+    Returns run_k(k) -> float."""
     import functools
 
+    import jax
+    import jax.numpy as jnp
     from jax import lax
 
+    from pngloss_tpu.ops import optimize_batch_auto
     from pngloss_tpu.ops.optimize import band_pad_for
     from pngloss_tpu.ops.optimize_pallas import wmax_class_for
 
-    # input-resident: upload ONCE, outside every timed region
-    batch_dev = jax.device_put(jnp.asarray(batch))
-    band_pad = band_pad_for(strength)
-    wmax = wmax_class_for(strength)
+    if band_pad is None:
+        band_pad = band_pad_for(strength)
+    if wmax is None:
+        wmax = wmax_class_for(strength)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def prog(rows, *, k: int):
@@ -156,6 +160,29 @@ def main() -> None:
 
     def run_k(k):
         return float(prog(batch_dev, k=k))
+
+    return run_k
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pngloss_tpu import codec
+    from pngloss_tpu.pipeline import (
+        collect_bucket,
+        dispatch_buckets,
+        reduce_colorspace,
+    )
+
+    strength = int(os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
+
+    # ---- device rate by dispatch slopes (one VMEM-quantum chunk) ----
+    batch, bpp, chunk_mp = make_bench_batch()
+
+    # input-resident: upload ONCE, outside every timed region
+    batch_dev = jax.device_put(jnp.asarray(batch))
+    run_k = make_slope_prog(batch_dev, strength, bpp)
 
     t0 = time.time()
     run_k(1)                 # compile + tunnel warmup
@@ -196,6 +223,10 @@ def main() -> None:
 
     # ---- end-to-end stream rate through the production pipeline ----
     batch_n = int(os.environ.get("PNGLOSS_BENCH_BATCH", "100"))
+    lena = open("/root/reference/suite/lena.png", "rb").read()
+    work, _bpp = reduce_colorspace(codec.decode(lena).rgba)
+    assert _bpp == bpp
+    rng = np.random.default_rng(1)
     works, bpps = [], []
     for _ in range(batch_n):
         w = work.copy()

@@ -362,19 +362,48 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       if (!((b >= 65 && b <= 90) || (b >= 97 && b <= 122)))
         return fail("invalid chunk type");
     }
-    if (pos + 12 + size_t(length) > len) return fail("Read error");
-    const uint8_t* body = data + pos + 8;
-    uint32_t expect = be32(data + pos + 8 + length);
-    pos += 12 + length;
+    // ---- header-time dispatch (libpng acts on length+name BEFORE reading
+    // chunk data or CRC; everything here must precede the data-bounds
+    // check and the CRC policy) ----
 
     bool known = is_known_handled(name) || (strip && is_kept_known(name));
-    // libpng handlers check missing-IHDR before reading data/CRC
+    // libpng handlers check missing-IHDR at dispatch
     if (!have_ihdr && std::memcmp(name, "IHDR", 4) != 0 && known) {
       if (std::memcmp(name, "IDAT", 4) == 0)
         return fail("IDAT: Missing IHDR before IDAT");
       if (std::memcmp(name, "IEND", 4) == 0) return fail("IEND: out of place");
       return fail(std::string(name) + ": missing IHDR");
     }
+
+    // png_read_row terminates the consecutive IDAT run at the next chunk's
+    // HEADER — an intervening chunk ends the run even when its own
+    // data/CRC later turn out to be truncated or corrupt
+    if (seen_idat && std::memcmp(name, "IDAT", 4) != 0) idat_done = true;
+
+    if (std::memcmp(name, "IDAT", 4) == 0 && !seen_idat) {
+      // png_read_info returns at the first IDAT *header*: libpng's
+      // Missing-PLTE check and rwpng's 32-bit-rowbytes guard
+      // (rwpng.c:287-290, exit 24) both fire there, before any IDAT data,
+      // bounds, or CRC is examined
+      if (color_type == 3 && !have_plte)
+        return fail("IDAT: Missing PLTE before IDAT");
+      if (size_t(width) * 4 > size_t(0x7FFFFFFF) / height)
+        return fail_oom("image too large for 32-bit rowbytes");
+      seen_idat = true;
+    }
+
+    if (pos + 12 + size_t(length) > len) return fail("Read error");
+    const uint8_t* body = data + pos + 8;
+    uint32_t expect = be32(data + pos + 8 + length);
+    pos += 12 + length;
+
+    // libpng's tEXt/iTXt handlers (they run under strip — no keep-callback)
+    // hit the zero-length read-past-EOF bug-compat while reading chunk
+    // data, BEFORE the CRC is verified
+    if (strip && length == 0 && !seen_idat &&
+        (std::memcmp(name, "tEXt", 4) == 0 ||
+         std::memcmp(name, "iTXt", 4) == 0))
+      return fail("Read error");
 
     bool ancillary = (namep[0] & 0x20) != 0;
     if (expect != crc32(crc32(0, namep, 4), body, length)) {
@@ -384,8 +413,6 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       if (!ancillary) return fail(std::string(name) + ": CRC error");
       if (known) continue;
     }
-
-    if (seen_idat && std::memcmp(name, "IDAT", 4) != 0) idat_done = true;
 
     if (std::memcmp(name, "IHDR", 4) == 0) {
       if (have_ihdr) return fail("IHDR: out of place");
@@ -416,16 +443,9 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       num_palette = length / 3;
       have_plte = true;
     } else if (std::memcmp(name, "IDAT", 4) == 0) {
+      // first-IDAT checks (Missing PLTE, rowbytes guard) fired at
+      // header-dispatch time above
       if (idat_done) continue;  // IDATs after the run ended are tolerated
-      if (!seen_idat) {
-        if (color_type == 3 && !have_plte)
-          return fail("IDAT: Missing PLTE before IDAT");
-        // rwpng.c:287-290: reject images whose final RGBA8 rowbytes can't
-        // fit 32-bit math, BEFORE allocating (exit code 24)
-        if (size_t(width) * 4 > size_t(0x7FFFFFFF) / height)
-          return fail_oom("image too large for 32-bit rowbytes");
-        seen_idat = true;
-      }
       idat.insert(idat.end(), body, body + length);
     } else if (std::memcmp(name, "IEND", 4) == 0) {
       if (!seen_idat) return fail("IEND: out of place");
@@ -481,13 +501,9 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       have_endpoints = true;
     } else if (is_known_handled(name) || (strip && is_kept_known(name))) {
       // iCCP/sBIT/bKGD/hIST/tIME/oFFs/pCAL/sCAL/sPLT/sTER/eXIf/acTL/fcTL/
-      // fdAT (+ keep-list under strip): handled by libpng, never re-emitted.
-      // Bug-compat: a zero-length tEXt/iTXt before IDAT trips a
-      // read-past-EOF in this libpng build under strip (zTXt doesn't).
-      if (strip && length == 0 && !seen_idat &&
-          (std::memcmp(name, "tEXt", 4) == 0 ||
-           std::memcmp(name, "iTXt", 4) == 0))
-        return fail("Read error");
+      // fdAT (+ keep-list under strip): handled by libpng, never re-emitted
+      // (the zero-length tEXt/iTXt read-past-EOF bug-compat fired pre-CRC,
+      // above)
       continue;
     } else {
       // unknown path (read_chunk_callback + libpng write-side policy):
@@ -779,9 +795,7 @@ void apply_filter_row(const uint8_t* prev, const uint8_t* row, int f, int bpp,
 // a warning if they disagree.
 // ---------------------------------------------------------------------------
 
-bool fast_deflate_canary_ok() {
-  static int ok = -1;
-  if (ok >= 0) return ok != 0;
+static bool fast_deflate_canary_run() {
   const char* force = std::getenv("PNGLOSS_FD_CANARY_FORCE_FAIL");
   bool forced_fail = force != nullptr && *force != '\0' &&
                      std::strcmp(force, "0") != 0;
@@ -803,10 +817,8 @@ bool fast_deflate_canary_ok() {
 
   std::vector<uint8_t> viaz;
   z_stream zs{};
-  if (deflateInit2(&zs, 9, Z_DEFLATED, 15, 9, Z_FILTERED) != Z_OK) {
-    ok = 0;
+  if (deflateInit2(&zs, 9, Z_DEFLATED, 15, 9, Z_FILTERED) != Z_OK)
     return false;
-  }
   std::vector<uint8_t> zbuf(1 << 16);
   zs.next_in = canary.data();
   zs.avail_in = uInt(canary.size());
@@ -837,8 +849,15 @@ bool fast_deflate_canary_ok() {
                  "libz so output stays byte-identical to the local "
                  "toolchain\n", zlibVersion());
   }
-  ok = match ? 1 : 0;
   return match;
+}
+
+bool fast_deflate_canary_ok() {
+  // C++ magic-static init: thread-safe single evaluation even when the
+  // first encodes arrive concurrently (the website's ThreadingHTTPServer
+  // can issue two first uploads at once)
+  static const bool ok = fast_deflate_canary_run();
+  return ok;
 }
 
 int msad_choice(const uint8_t* prev, const uint8_t* row, int bpp,

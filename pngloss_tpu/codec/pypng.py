@@ -428,19 +428,49 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
         for b in name:
             if not (65 <= b <= 90 or 97 <= b <= 122):
                 raise PngDecodeError("invalid chunk type")
-        if pos + 12 + length > n:
-            raise PngDecodeError("Read error")
-        body = data[pos + 8 : pos + 8 + length]
-        (expect,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
-        pos += 12 + length
+        # ---- header-time dispatch (libpng acts on length+name BEFORE
+        # reading chunk data or CRC; everything in this block must precede
+        # the data-bounds check and the CRC policy) ----
 
-        # libpng handlers check missing-IHDR before reading data/CRC
+        # libpng handlers check missing-IHDR at dispatch
         if not have_ihdr and name != b"IHDR" and name in known_handled:
             if name == b"IDAT":
                 raise PngDecodeError("IDAT: Missing IHDR before IDAT")
             if name == b"IEND":
                 raise PngDecodeError("IEND: out of place")
             raise PngDecodeError(f"{name.decode('latin-1')}: missing IHDR")
+
+        # png_read_row terminates the consecutive IDAT run at the next
+        # chunk's HEADER — an intervening chunk ends the run even when its
+        # own data/CRC later turn out to be truncated or corrupt
+        if seen_idat and name != b"IDAT":
+            idat_done = True
+
+        if name == b"IDAT" and not seen_idat:
+            # png_read_info returns at the first IDAT *header*: libpng's
+            # Missing-PLTE check and rwpng's 32-bit-rowbytes guard
+            # (rwpng.c:287-290, exit 24) both fire there, before any IDAT
+            # data, bounds, or CRC is examined
+            if color_type == 3 and not have_plte:
+                raise PngDecodeError("IDAT: Missing PLTE before IDAT")
+            if width * 4 > 0x7FFFFFFF // height:
+                raise PngDecodeError(
+                    "image too large for 32-bit rowbytes",
+                    exit_code=PNG_OUT_OF_MEMORY_ERROR)
+            seen_idat = True
+
+        if pos + 12 + length > n:
+            raise PngDecodeError("Read error")
+        body = data[pos + 8 : pos + 8 + length]
+        (expect,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        pos += 12 + length
+
+        # libpng's tEXt/iTXt handlers (they run under strip — no
+        # keep-callback) hit the zero-length read-past-EOF bug-compat while
+        # reading chunk data, BEFORE the CRC is verified
+        if (strip and length == 0 and not seen_idat
+                and name in (b"tEXt", b"iTXt")):
+            raise PngDecodeError("Read error")
 
         ancillary = bool(name[0] & 0x20)
         if expect != (zlib.crc32(name + body) & 0xFFFFFFFF):
@@ -451,9 +481,6 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
                 continue  # handler path: warn + discard, no state change
             # unknown path: rwpng's callback stores the chunk before libpng
             # sees the CRC result, so the data is kept/used despite the error
-
-        if seen_idat and name != b"IDAT":
-            idat_done = True
 
         if name == b"IHDR":
             if have_ihdr:
@@ -488,18 +515,10 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
             have_plte = True
 
         elif name == b"IDAT":
+            # first-IDAT checks (Missing PLTE, rowbytes guard) fired at
+            # header-dispatch time above
             if idat_done:
                 continue  # IDATs after the run ended are tolerated (read_end)
-            if not seen_idat:
-                if color_type == 3 and not have_plte:
-                    raise PngDecodeError("IDAT: Missing PLTE before IDAT")
-                # rwpng.c:287-290: reject images whose final RGBA8 rowbytes
-                # can't fit 32-bit math, BEFORE allocating (exit code 24)
-                if width * 4 > 0x7FFFFFFF // height:
-                    raise PngDecodeError(
-                        "image too large for 32-bit rowbytes",
-                        exit_code=PNG_OUT_OF_MEMORY_ERROR)
-                seen_idat = True
             idat += body
 
         elif name == b"IEND":
@@ -585,12 +604,9 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
                 if not ancillary and not seen_idat:
                     raise PngDecodeError(
                         f"{name.decode('latin-1')}: unhandled critical chunk")
-                # keep-listed chunks run their libpng handlers under strip;
-                # a zero-length tEXt/iTXt before IDAT trips a read-past-EOF
-                # in this libpng build (empirical bug-compat; zTXt doesn't)
-                if (name in (b"tEXt", b"iTXt") and length == 0
-                        and not seen_idat):
-                    raise PngDecodeError("Read error")
+                # keep-listed chunks run their libpng handlers under strip
+                # (the zero-length tEXt/iTXt read-past-EOF bug-compat fired
+                # pre-CRC, above)
                 continue
             if not have_ihdr or seen_idat:
                 continue

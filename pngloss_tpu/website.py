@@ -33,6 +33,7 @@ import binascii
 import hashlib
 import os
 import re
+import stat
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -366,10 +367,15 @@ class _UnixHTTPServer(ThreadingHTTPServer):
     address_family = __import__("socket").AF_UNIX
 
     def server_bind(self):
+        # only ever unlink a stale SOCKET: a typo'd --socket pointing at a
+        # regular file must not silently delete it (bind then fails loudly
+        # with EADDRINUSE/ENOTSOCK instead)
         try:
-            os.unlink(self.server_address)
+            st = os.stat(self.server_address)
         except OSError:
-            pass
+            st = None
+        if st is not None and stat.S_ISSOCK(st.st_mode):
+            os.unlink(self.server_address)
         super().server_bind()
         self.server_name = "unix"
         self.server_port = 0

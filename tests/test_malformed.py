@@ -109,6 +109,36 @@ def test_kept_chunk_order_is_reversed():
         assert names == [b"bbBb", b"aaAa"]
 
 
+def test_header_time_dispatch_ordering():
+    # round-4 review repros: libpng acts on a chunk's length+name BEFORE
+    # reading its data or CRC, so (a) a bad-CRC gAMA between two IDATs
+    # still ends the IDAT run ("Not enough image data", not a bridged
+    # decode); (b) the rwpng.c:287-290 rowbytes guard fires at the first
+    # IDAT header (exit 24) even when that IDAT's CRC is corrupt
+    cases = dict(CASES)
+    for mod in ([native] if native.available() else []) + [pypng]:
+        with pytest.raises(pypng.PngDecodeError) as ei:
+            mod.decode(cases["idat_run_split_by_bad_crc_gama"])
+        assert "Not enough image data" in str(ei.value)
+        with pytest.raises(pypng.PngDecodeError) as ei:
+            mod.decode(cases["dims_bomb_bad_idat_crc"])
+        assert ei.value.exit_code == 24
+
+
+def test_strip_zero_length_text_bug_fires_before_crc():
+    # round-4 review repro: the tEXt handler's zero-length read-past-EOF
+    # bug-compat fires while reading chunk data, before the CRC check, so
+    # a bad CRC doesn't rescue the chunk into the warn+discard path; and
+    # without --strip the chunk takes the keep-callback path (no handler,
+    # bad-CRC ancillary unknown-path chunks are kept) so it must decode
+    png = dict(CASES)["text_empty_bad_crc_before_idat"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        with pytest.raises(pypng.PngDecodeError) as ei:
+            mod.decode(png, strip=True)
+        assert "Read error" in str(ei.value)
+        mod.decode(png, strip=False)  # must accept
+
+
 def test_zero_length_plte_is_fatal_for_color_types():
     # round-4 fuzz repro (seed 97193): libpng's png_set_PLTE errors on
     # num_palette == 0 ("Invalid palette") -> rc 25; we previously accepted

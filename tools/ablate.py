@@ -61,48 +61,20 @@ def run_worker(variant: str, spec: dict) -> None:
     """One variant's slope measurement; prints a single JSON line."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
-    import functools
 
     sys.path.insert(0, REPO)
     import bench
-    from pngloss_tpu import codec
-    from pngloss_tpu.ops import optimize_batch_auto
-    from pngloss_tpu.ops.optimize import band_pad_for
     from pngloss_tpu.ops.optimize_pallas import wmax_class_for
 
     strength = spec["strength"] if spec["strength"] is not None else int(
         os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
-    lena = open("/root/reference/suite/lena.png", "rb").read()
-    from pngloss_tpu.pipeline import reduce_colorspace
-
-    work, bpp = reduce_colorspace(codec.decode(lena).rgba)
-    rng = np.random.default_rng(0)
-    chunk_b = 25
-    batch = np.stack([work] * chunk_b)
-    batch[:, :, : 4 * bpp] = rng.integers(
-        0, 256, (chunk_b, work.shape[0], 4 * bpp), np.uint8)
-    chunk_mp = chunk_b * work.shape[0] * (work.shape[1] // bpp) / 1e6
-
+    # the shared builders keep the 'full' variant trace-identical to
+    # bench.py's production program (same persistent-cache key)
+    batch, bpp, chunk_mp = bench.make_bench_batch()
     batch_dev = jax.device_put(jnp.asarray(batch))
-    band_pad = band_pad_for(strength)
     wmax = spec["wmax"] if spec["wmax"] is not None \
         else wmax_class_for(strength)
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def prog(rows, *, k: int):
-        def step(acc, i):
-            r = rows.at[:, 0, 0].set(i)
-            q, f = optimize_batch_auto(r, strength, 2, bpp=bpp,
-                                       band_pad=band_pad, wmax=wmax)
-            return (acc + jnp.sum(q.astype(jnp.int32))
-                    + jnp.sum(f.astype(jnp.int32))), None
-        acc, _ = lax.scan(step, jnp.int32(0), jnp.arange(k, dtype=jnp.uint8))
-        return acc
-
-    def run_k(k):
-        return float(prog(batch_dev, k=k))
+    run_k = bench.make_slope_prog(batch_dev, strength, bpp, wmax=wmax)
 
     t0 = time.time()
     run_k(1)

@@ -191,6 +191,29 @@ def catalog() -> list[tuple[str, bytes]]:
        with_chunk_at(with_chunk_at(rgb, 1, b"aaAa", b"first"),
                      2, b"bbBb", b"second")))
 
+    # --- header-time dispatch ordering (round-4 review repros): libpng
+    # acts on a chunk's length+name BEFORE reading its data or CRC ---
+    rgb_idat = next(b for nm, b in parse(rgb) if nm == b"IDAT")
+    A(("idat_run_split_by_bad_crc_gama",
+       # png_read_row ends the IDAT run at the gAMA HEADER (its bad CRC is
+       # never reached) -> "Not enough image data", NOT a bridged decode
+       SIG + chunk(b"IHDR", make_ihdr(16, 12, 8, 2))
+       + chunk(b"IDAT", rgb_idat[:len(rgb_idat) // 2])
+       + chunk(b"gAMA", struct.pack(">I", 45455), crc=0xDEAD)
+       + chunk(b"IDAT", rgb_idat[len(rgb_idat) // 2:])
+       + chunk(b"IEND", b"")))
+    A(("text_empty_bad_crc_before_idat",
+       # under --strip the tEXt handler's zero-length read-past-EOF
+       # bug-compat fires while reading data, BEFORE the CRC check
+       SIG + chunk(b"IHDR", make_ihdr(16, 12, 8, 2))
+       + chunk(b"tEXt", b"", crc=1)
+       + chunk(b"IDAT", rgb_idat) + chunk(b"IEND", b"")))
+    A(("dims_bomb_bad_idat_crc",
+       # the rwpng.c:287-290 guard fires at the first IDAT *header*
+       # (exit 24) before the IDAT CRC is ever verified
+       SIG + chunk(b"IHDR", make_ihdr(100000, 100000, 8, 6))
+       + chunk(b"IDAT", b"xx", crc=5) + chunk(b"IEND", b"")))
+
     # --- PLTE ---
     A(("plte_len_not_mult3", replace_chunk(pal, b"PLTE", b"\x01\x02\x03\x04")))
     A(("plte_missing_for_palette", drop_chunk(pal, b"PLTE")))

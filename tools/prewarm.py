@@ -22,7 +22,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -41,44 +40,26 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
 
     from pngloss_tpu import codec
-    from pngloss_tpu.ops import optimize_batch_auto
-    from pngloss_tpu.ops.optimize import band_pad_for
     from pngloss_tpu.ops.optimize_pallas import wmax_class_for
     from pngloss_tpu.pipeline import reduce_colorspace
 
     t_start = time.time()
     warmed = []
 
-    # --- bench.py's exact programs (same trace => same cache key) ---
-    lena = open(os.path.join(args.suite_dir, "lena.png"), "rb").read()
-    work, bpp = reduce_colorspace(codec.decode(lena).rgba)
-    rng = np.random.default_rng(0)
-    batch = np.stack([work] * 25)
-    batch[:, :, : 4 * bpp] = rng.integers(
-        0, 256, (25, work.shape[0], 4 * bpp), np.uint8)
+    # --- bench.py's exact programs: same builder => same trace => same
+    # persistent-cache key (bench.make_bench_batch / make_slope_prog) ---
+    import bench
+
+    batch, bpp, _ = bench.make_bench_batch(suite_dir=args.suite_dir)
     strength = int(os.environ.get("PNGLOSS_BENCH_STRENGTH", "19"))
     batch_dev = jax.device_put(jnp.asarray(batch))
-    band_pad = band_pad_for(strength)
-    wmax = wmax_class_for(strength)
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def prog(rows, *, k: int):
-        def step(acc, i):
-            r = rows.at[:, 0, 0].set(i)
-            q, f = optimize_batch_auto(r, strength, 2, bpp=bpp,
-                                       band_pad=band_pad, wmax=wmax)
-            return (acc + jnp.sum(q.astype(jnp.int32))
-                    + jnp.sum(f.astype(jnp.int32))), None
-        acc, _ = lax.scan(step, jnp.int32(0), jnp.arange(k, dtype=jnp.uint8))
-        return acc
+    run_k = bench.make_slope_prog(batch_dev, strength, bpp)
 
     for k in (1, 4):
         t0 = time.time()
-        float(prog(batch_dev, k=k))
+        run_k(k)
         warmed.append({"prog": f"bench k={k}", "shape": list(batch.shape),
                        "s": time.time() - t0})
         print(f"# bench k={k}: {warmed[-1]['s']:.1f}s", file=sys.stderr)
