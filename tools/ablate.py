@@ -112,7 +112,11 @@ def main() -> int:
     results = []
     for name in args.variants.split(","):
         spec = VARIANTS[name]
-        env = dict(os.environ, PYTHONPATH=REPO)
+        # APPEND to PYTHONPATH: replacing it drops /root/.axon_site and the
+        # worker loses the axon TPU platform registration (CLAUDE.md quirk)
+        prev_pp = os.environ.get("PYTHONPATH", "")
+        env = dict(os.environ,
+                   PYTHONPATH=REPO + (os.pathsep + prev_pp if prev_pp else ""))
         if spec["ablate"]:
             env["PNGLOSS_ABLATE"] = spec["ablate"]
         else:
