@@ -31,6 +31,25 @@ def test_random_all_bpp(bpp):
         _check(rows, bpp, strength)
 
 
+def test_forced_wmax_classes():
+    """Every rotated-window class is exact when forced explicitly,
+    independent of wmax_class_for's selection — including the 127-row
+    class that only tools/ablate.py exercises (its measurement is only
+    meaningful if the class is correct) and the dense fallback under a
+    class-eligible strength."""
+    rng = np.random.default_rng(47)
+    rows = rng.integers(0, 256, size=(2, 6, 7 * 3), dtype=np.uint8)
+    for wmax, strengths in ((15, (0, 9, 15)), (31, (15, 31)),
+                            (63, (40, 63)), (127, (75, 100, 127)),
+                            (0, (15, 75))):
+        for strength in strengths:
+            q, f = optimize_batch_pallas(rows, strength, 2, bpp=3, wmax=wmax)
+            for i in range(rows.shape[0]):
+                qr, fr = ref.optimize_image(rows[i], 3, strength, 2, True)
+                np.testing.assert_array_equal(np.asarray(f[i]), fr)
+                np.testing.assert_array_equal(np.asarray(q[i]), qr)
+
+
 def test_large_strength_and_bleed():
     rng = np.random.default_rng(30)
     rows = rng.integers(0, 256, size=(4, 5 * 3), dtype=np.uint8)
