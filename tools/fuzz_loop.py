@@ -81,7 +81,11 @@ def random_case(rng):
             rgba[:, :, 3] = 255
         if kind in ("gray_alpha", "rgba") and rng.random() < 0.5:
             rgba[::2, :, 3] = 0   # exercise the transparent-pixel rule
-    strength = int(rng.integers(0, 256))      # FULL strength domain
+    # FULL strength domain by default; cap it to concentrate a run on one
+    # rotated-window class (the class is chosen by the batch's max
+    # strength, so e.g. MAX_STRENGTH=15 pins every batch to the <=15 class)
+    s_max = int(os.environ.get("PNGLOSS_FUZZ_MAX_STRENGTH", "255"))
+    strength = int(rng.integers(0, s_max + 1))
     return kind, rgba, strength
 
 
