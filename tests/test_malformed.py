@@ -155,6 +155,53 @@ def test_post_idat_chunks_not_kept():
     assert not any(c.name == b"tEXt" for c in img.chunks)
 
 
+def _placement_corner_cases():
+    """Chunk-placement corners the random mutator essentially never hits
+    (round-4 hand probe): zero-length text chunks before/after IDAT and
+    after IEND, unknown safe/unsafe-to-copy ancillaries after IDAT, kept
+    known chunks after IDAT, and colorspace chunks in the post-IDAT
+    position (libpng accepts sRGB/gAMA there; rwpng.c reads them at
+    png_read_info time only)."""
+    from malformed import base_rgb, build, chunk, parse
+
+    rgb = base_rgb()
+    cs = parse(rgb)  # IHDR, IDAT, IEND
+
+    def after_idat(name, body):
+        return build([cs[0], cs[1], (name, body), cs[2]])
+
+    return [
+        ("text0_after_idat", after_idat(b"tEXt", b"")),
+        ("itxt0_after_idat", after_idat(b"iTXt", b"")),
+        ("ztxt0_after_idat", after_idat(b"zTXt", b"")),
+        ("ztxt0_before_idat", with_chunk_at(rgb, 1, b"zTXt", b"")),
+        ("itxt0_before_idat", with_chunk_at(rgb, 1, b"iTXt", b"")),
+        ("text0_after_iend", rgb + chunk(b"tEXt", b"")),
+        ("unknown_safe_after_idat", after_idat(b"aaAa", b"hello")),
+        ("unknown_unsafe_after_idat", after_idat(b"aaAA", b"hello")),
+        ("known_kept_after_idat_phys", after_idat(b"pHYs", bytes(9))),
+        ("text_after_idat_normal", after_idat(b"tEXt", b"k\x00v")),
+        ("srgb_after_idat_then_gama",
+         build([cs[0], cs[1], (b"sRGB", b"\x00"),
+                (b"gAMA", (45455).to_bytes(4, "big")), cs[2]])),
+    ]
+
+
+@pytest.mark.parametrize("strip", [False, True])
+def test_chunk_placement_corner_codec_agreement(strip):
+    def dec(mod, data):
+        try:
+            return True, _img_state(mod.decode(data, strip=strip))
+        except pypng.PngDecodeError as e:
+            return False, int(getattr(e, "exit_code", 25))
+
+    for name, png in _placement_corner_cases():
+        ok_py, res_py = dec(pypng, png)
+        if native.available():
+            ok_nat, res_nat = dec(native, png)
+            assert (ok_nat, res_nat) == (ok_py, res_py), name
+
+
 ORACLE = "/tmp/pngloss_oracle/pngloss"
 
 
@@ -178,4 +225,30 @@ def test_oracle_accept_reject_and_exit_code_parity():
             bad.append(f"{name}: accept split ours={ok_py} oracle rc={r.returncode}")
         elif not ok_py and res_py != r.returncode:
             bad.append(f"{name}: exit code ours={res_py} oracle={r.returncode}")
+    assert not bad, "\n".join(bad)
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE),
+                    reason="oracle binary unavailable")
+@pytest.mark.parametrize("strip", [False, True])
+def test_chunk_placement_corner_oracle_byte_parity(strip):
+    # full-pipeline output bytes must match the C tool on every placement
+    # corner, in both keep and strip modes (round-4 hand probe, 0 fails)
+    from pngloss_tpu.pipeline import compress_many
+
+    cases = _placement_corner_cases()
+    outs = compress_many([png for _, png in cases], [19] * len(cases), 2,
+                         strip=strip)
+    bad = []
+    for (name, png), res in zip(cases, outs):
+        cmd = [ORACLE, "-f", "-s", "19", "-b", "2"] + (["--strip"] if strip else [])
+        r = subprocess.run(cmd + ["-"], input=png, capture_output=True,
+                           timeout=120)
+        if r.returncode == 0:
+            if res.error is not None:
+                bad.append(f"{name}: ours rejected {res.error!r}, oracle accepted")
+            elif res.data != r.stdout:
+                bad.append(f"{name}: bytes differ {len(res.data)} vs {len(r.stdout)}")
+        elif res.error is None:
+            bad.append(f"{name}: ours accepted, oracle rc={r.returncode}")
     assert not bad, "\n".join(bad)
