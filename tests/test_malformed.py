@@ -252,3 +252,26 @@ def test_chunk_placement_corner_oracle_byte_parity(strip):
         elif res.error is None:
             bad.append(f"{name}: ours accepted, oracle rc={r.returncode}")
     assert not bad, "\n".join(bad)
+
+
+def test_rowbytes_guard_boundary():
+    # rwpng.c:287-290 fires iff rowbytes(=width*4) > INT_MAX/height, at the
+    # first IDAT header: one past the boundary is exit 24, on the boundary
+    # the decode proceeds and dies on the truncated IDAT instead (exit 25).
+    # Hand-probed vs the oracle (16/16 exact, incl. pypng AND native).
+    import zlib as _zlib
+
+    from malformed import build, make_ihdr
+
+    def png_for(w, h):
+        return build([(b"IHDR", make_ihdr(w, h, 8, 2)),
+                      (b"IDAT", _zlib.compress(b"\x00" * 10)),
+                      (b"IEND", b"")])
+
+    for w, h, want in [(536, 1000000, 25), (537, 1000000, 24),
+                       (2147, 250000, 25), (2148, 250000, 24),
+                       (1000000, 536, 25), (1000000, 537, 24)]:
+        for mod in ([native] if native.available() else []) + [pypng]:
+            with pytest.raises(pypng.PngDecodeError) as ei:
+                mod.decode(png_for(w, h))
+            assert ei.value.exit_code == want, (w, h, mod.__name__)
