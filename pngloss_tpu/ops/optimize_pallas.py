@@ -342,9 +342,10 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
 
 
 # (15, 31, 63): strengths <= 15 sweep a 24-row rotated window instead of
-# 40 (round-4 verdict item 3a); beyond 63 the rotation's dense leading
-# stages outgrow the sweep saving (measured: tools/ablate.py --variants
-# s75_c127,s75_dense — see docs/ROOFLINE.md)
+# 40 (round-4 verdict item 3a).  Whether a <=127 class beats the dense
+# 256-row path for strengths 64-99 is an on-chip question: tools/ablate.py
+# --variants s75_c127,s75_dense measures it (docs/ROOFLINE.md records the
+# verdict); add 127 here only if it wins.
 WMAX_CLASSES = (15, 31, 63)
 
 
