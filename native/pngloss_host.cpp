@@ -77,7 +77,7 @@ void put_be32(std::vector<uint8_t>& out, uint32_t v) {
 
 struct KeptChunk {
   char name[4];
-  uint8_t location;  // 1 = before IDAT, 8 = after IDAT
+  uint8_t location;  // 1 = before PLTE, 2 = after PLTE, 8 = after IDAT
   std::vector<uint8_t> data;
 };
 
@@ -338,6 +338,11 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
   uint32_t width = 0, height = 0;
   int bit_depth = 0, color_type = -1, interlace = 0;
   bool have_ihdr = false, have_plte = false;
+  // libpng's PNG_HAVE_PLTE mode bit: set by png_handle_PLTE for EVERY PLTE
+  // passing the duplicate/after-IDAT checks, including ones later ignored
+  // (grayscale, bad length).  Gates the colorspace handlers' "out of
+  // place" checks and flips kept-chunk location 1 -> 2 (oracle-pinned).
+  bool plte_mode = false;
   bool seen_idat = false, idat_done = false;
   size_t num_palette = 0;
   // libpng colorspace state machine (byte-visible through the sRGB tag)
@@ -430,7 +435,11 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       // png_handle_PLTE: after IDAT benign; duplicate fatal; grayscale
       // benign; bad length fatal iff palette image
       if (seen_idat) continue;
-      if (have_plte) return fail("PLTE: duplicate");
+      if (plte_mode) return fail("PLTE: duplicate");
+      // mode bit set before the grayscale/length checks, so an ignored
+      // PLTE still moves later kept chunks to location 2 and makes a
+      // second PLTE a fatal duplicate
+      plte_mode = true;
       if (color_type == 0 || color_type == 4) continue;
       if (length > 768 || length % 3) {
         if (color_type == 3) return fail("PLTE: invalid");
@@ -465,7 +474,7 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       trns.assign(body, body + length);
       have_trns = true;
     } else if (std::memcmp(name, "gAMA", 4) == 0) {
-      if (have_plte || seen_idat || length != 4) continue;
+      if (plte_mode || seen_idat || length != 4) continue;
       uint32_t g = be32(body);
       if (cs_invalid || from_srgb) continue;  // FROM_sRGB: gAMA ignored
       if (g < 16 || g > 625000000u || have_gamma) {
@@ -477,7 +486,7 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       have_gamma = true;
       gamma_fixed = g;
     } else if (std::memcmp(name, "sRGB", 4) == 0) {
-      if (have_plte || seen_idat || length != 1 || body[0] > 3) continue;
+      if (plte_mode || seen_idat || length != 1 || body[0] > 3) continue;
       if (cs_invalid) continue;
       if (from_srgb) {  // second sRGB (any intent) invalidates
         cs_invalid = true;
@@ -489,7 +498,7 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       srgb_tag = true;
       gamma_fixed = 45455;
     } else if (std::memcmp(name, "cHRM", 4) == 0) {
-      if (have_plte || seen_idat || length != 32) continue;
+      if (plte_mode || seen_idat || length != 32) continue;
       if (cs_invalid || from_srgb) continue;
       uint32_t v[8];
       for (int i = 0; i < 8; i++) v[i] = be32(body + 4 * i);
@@ -519,7 +528,11 @@ int pl_decode_impl(const uint8_t* data, size_t len, int strip,
       if (is_kept_known(name) || (namep[3] & 0x20) != 0) {
         KeptChunk c;
         std::memcpy(c.name, name, 4);
-        c.location = 1;
+        // libpng normalises the location to its top-most mode bit
+        // (pngset.c check_location): before any PLTE -> 1 (PNG_HAVE_IHDR),
+        // after one -> 2 (PNG_HAVE_PLTE); the groups are written at
+        // different png_write_info points
+        c.location = plte_mode ? 2 : 1;
         c.data.assign(body, body + length);
         kept.push_back(std::move(c));
       }
@@ -996,7 +1009,12 @@ static int pl_encode_impl(const uint8_t* rgba, uint32_t w, uint32_t h,
     put_chunk("sRGB", &z, 1);
   }
   for (const auto& c : chunks)
-    if (c.location != 8) put_chunk(c.name, c.data.data(), c.data.size());
+    if (c.location != 2 && c.location != 8)
+      put_chunk(c.name, c.data.data(), c.data.size());
+  // location-2 chunks at png_write_info's later write point — after the
+  // whole location-1 group, reversed read order preserved within groups
+  for (const auto& c : chunks)
+    if (c.location == 2) put_chunk(c.name, c.data.data(), c.data.size());
 
   // filter + deflate (level 9, memLevel 9, Z_FILTERED — rwpng.c:471-472 and
   // libpng's strategy default when row filtering is in use). The filtered

@@ -111,7 +111,7 @@ class TooLargeFile(Exception):
 class Chunk:
     name: bytes       # 4-byte chunk type
     data: bytes
-    location: int     # 1 = before PLTE/IDAT, 8 = after IDAT (libpng-style)
+    location: int     # 1 = before PLTE, 2 = after PLTE, 8 = after IDAT (libpng mode bits)
 
 
 @dataclass
@@ -402,7 +402,14 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
     have_ihdr = False
     palette: np.ndarray | None = None
     num_palette = 0
-    have_plte = False        # stored-PLTE (sets libpng's PNG_HAVE_PLTE mode)
+    have_plte = False        # a palette was actually STORED (png_set_PLTE)
+    # libpng's PNG_HAVE_PLTE mode bit: set by png_handle_PLTE for EVERY
+    # PLTE that passes the duplicate/after-IDAT checks — including ones
+    # later ignored (grayscale, bad length).  It gates the colorspace
+    # handlers' "out of place" checks and flips kept-chunk location 1 -> 2
+    # (oracle-pinned: gray PLTE + gAMA ignores the gAMA; two ignored PLTEs
+    # are a fatal duplicate)
+    plte_mode = False
     trns: bytes | None = None
     # libpng colorspace state machine (byte-visible through the sRGB tag)
     cs_invalid = False       # PNG_COLORSPACE_INVALID — sticky
@@ -497,8 +504,12 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
             # fatal; grayscale -> benign; bad length -> fatal iff palette img
             if seen_idat:
                 continue
-            if have_plte:
+            if plte_mode:
                 raise PngDecodeError("PLTE: duplicate")
+            # mode bit set before the grayscale/length checks, so even an
+            # ignored PLTE moves later kept chunks to location 2 and makes
+            # a second PLTE a fatal duplicate
+            plte_mode = True
             if color_type in (0, 4):
                 continue  # "ignored in grayscale PNG"
             if length > 768 or length % 3:
@@ -548,7 +559,7 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
                 continue  # "invalid with alpha channel"
 
         elif name == b"gAMA":
-            if have_plte or seen_idat or length != 4:
+            if plte_mode or seen_idat or length != 4:
                 continue  # "out of place" / "invalid": benign, no state change
             (g,) = struct.unpack(">I", body)
             if cs_invalid or from_srgb:
@@ -563,7 +574,7 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
             gamma_fixed = g
 
         elif name == b"sRGB":
-            if have_plte or seen_idat or length != 1 or body[0] > 3:
+            if plte_mode or seen_idat or length != 1 or body[0] > 3:
                 continue
             if cs_invalid:
                 continue
@@ -578,7 +589,7 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
             gamma_fixed = 45455
 
         elif name == b"cHRM":
-            if have_plte or seen_idat or length != 32:
+            if plte_mode or seen_idat or length != 32:
                 continue
             if cs_invalid or from_srgb:
                 continue  # FROM_sRGB: cHRM ignored
@@ -611,7 +622,12 @@ def _decode_impl(data: bytes, strip: bool) -> DecodedImage:
             if not have_ihdr or seen_idat:
                 continue
             if name in _KEPT_KNOWN or bool(name[3] & 0x20):
-                kept.append(Chunk(name=name, data=body, location=1))
+                # libpng normalises the location to its top-most mode bit
+                # (pngset.c check_location): before any PLTE -> 1
+                # (PNG_HAVE_IHDR), after one -> 2 (PNG_HAVE_PLTE) — the two
+                # groups are written at different png_write_info points
+                kept.append(Chunk(name=name, data=body,
+                                  location=2 if plte_mode else 1))
 
     channels = _CHANNELS[color_type]
 
@@ -821,8 +837,16 @@ def encode(
     if color_transform == COLOR_SRGB:
         put_chunk(b"sRGB", b"\x00")
 
+    # libpng writes unknown chunks at three points, by normalised location:
+    # end of png_write_info_before_PLTE (1), end of png_write_info (2), and
+    # png_write_end (8) — so the location-1 group precedes the location-2
+    # group even though rwpng's list interleaves them (reversed read order
+    # is preserved WITHIN each group)
     for ch in chunks or ():
-        if ch.location != 8:
+        if ch.location not in (2, 8):
+            put_chunk(ch.name, ch.data)
+    for ch in chunks or ():
+        if ch.location == 2:
             put_chunk(ch.name, ch.data)
 
     # filter + deflate; libpng's defaults are level 9 via the reference's

@@ -109,6 +109,40 @@ def test_kept_chunk_order_is_reversed():
         assert names == [b"bbBb", b"aaAa"]
 
 
+def test_kept_chunk_location_groups_split_at_plte():
+    # round-4 fuzz repro (seed 33487): libpng normalises each unknown
+    # chunk's location to the top-most mode bit (1 before any PLTE, 2
+    # after), and writes the location-1 group before the location-2 group
+    # (png_write_info's two write points).  A PLTE that is itself ignored
+    # (grayscale, bad length) still sets the mode bit.
+    png = dict(CASES)["text_straddles_plte"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        locs = [(c.data[1:2], c.location) for c in mod.decode(png).chunks]
+        assert locs == [(b"b", 2), (b"a", 1)]  # list reversed, locations kept
+    png = dict(CASES)["text_straddles_benign_rgb_plte"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        locs = [(c.data[1:2], c.location) for c in mod.decode(png).chunks]
+        assert locs == [(b"b", 2), (b"a", 1)]
+
+
+def test_ignored_plte_still_gates_colorspace_and_duplicates():
+    # the PNG_HAVE_PLTE mode bit from an IGNORED gray PLTE makes a later
+    # gAMA "out of place" (default gamma survives) and a second PLTE a
+    # fatal duplicate — oracle-pinned in round 4
+    png = dict(CASES)["gama_after_ignored_gray_plte"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        img = mod.decode(png)
+        # the 0.25 gAMA must be ignored: default gamma state (which this
+        # codec represents as gama_only/0.45455 — no gAMA chunk emitted)
+        assert img.color_transform != pypng.COLOR_SRGB
+        assert abs(img.gamma - 0.45455) < 1e-9
+    png = dict(CASES)["plte_duplicate_after_ignored"]
+    for mod in ([native] if native.available() else []) + [pypng]:
+        with pytest.raises(pypng.PngDecodeError if mod is pypng
+                           else native.PngDecodeError):
+            mod.decode(png)
+
+
 def test_header_time_dispatch_ordering():
     # round-4 review repros: libpng acts on a chunk's length+name BEFORE
     # reading its data or CRC, so (a) a bad-CRC gAMA between two IDATs

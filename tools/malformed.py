@@ -227,6 +227,33 @@ def catalog() -> list[tuple[str, bytes]]:
        # png_set_PLTE ("Invalid palette"), even for non-palette color types
        with_chunk_at(rgb, 1, b"PLTE", b"")))
     A(("plte_257_entries", replace_chunk(pal, b"PLTE", bytes(257 * 3))))
+    # libpng sets the PNG_HAVE_PLTE mode bit BEFORE the grayscale/length
+    # checks, so even an ignored PLTE flips kept-chunk locations to 2 and
+    # arms the duplicate check (round-4 fuzz repro seed 33487 + oracle
+    # probes; png_handle_PLTE / pngset.c check_location)
+    A(("text_straddles_plte",  # kept chunk before AND after PLTE: the
+       # location-1 group is written before the location-2 group, so the
+       # emitted order is NOT simply reversed read order
+       with_chunk_at(with_chunk_at(pal, 1, b"tEXt", b"ka\x00AAAA"),
+                     3, b"tEXt", b"kb\x00BBBB")))
+    A(("gama_after_ignored_gray_plte",  # mode bit from the ignored PLTE
+       # makes the gAMA "out of place" — gamma must stay default
+       with_chunk_at(with_chunk_at(gray, 1, b"PLTE", bytes(9)),
+                     2, b"gAMA", struct.pack(">I", 25000))))
+    A(("plte_duplicate_after_ignored",  # gray PLTE(0) is benign but arms
+       # the duplicate check: second PLTE is fatal
+       with_chunk_at(with_chunk_at(gray, 1, b"PLTE", b""),
+                     2, b"PLTE", bytes(9))))
+    A(("text_straddles_benign_rgb_plte",  # bad-length PLTE in RGB is a
+       # benign discard but still splits the kept-chunk location groups
+       with_chunk_at(with_chunk_at(with_chunk_at(rgb,
+                     1, b"tEXt", b"ka\x00AAAA"),
+                     2, b"PLTE", bytes(4)),
+                     3, b"tEXt", b"kb\x00BBBB")))
+    A(("srgb_after_suggested_plte",  # suggested palette in RGB: sRGB after
+       # it is out of place and ignored
+       with_chunk_at(with_chunk_at(rgb, 1, b"PLTE", bytes(9)),
+                     2, b"sRGB", b"\x00")))
     A(("palette_index_oob",
        # indices reach 7 but only 4 palette entries are present
        replace_chunk(base_palette(ncolors=8, max_index=7), b"PLTE",
