@@ -110,6 +110,7 @@ def main() -> int:
         return 0
 
     results = []
+    failed = []
     for name in args.variants.split(","):
         spec = VARIANTS[name]
         # APPEND to PYTHONPATH: replacing it drops /root/.axon_site and the
@@ -122,13 +123,25 @@ def main() -> int:
         else:
             env.pop("PNGLOSS_ABLATE", None)
         print(f"# measuring {name} ...", file=sys.stderr)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", name],
-            env=env, capture_output=True, text=True, timeout=1800)
-        if r.returncode != 0:
+        # one retry per variant: a killed predecessor can wedge the chip
+        # for ~60 s (working notes), and losing the whole run to one
+        # transient would waste the chip window
+        rec = None
+        for attempt in (1, 2):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", name],
+                env=env, capture_output=True, text=True, timeout=1800)
+            if r.returncode == 0:
+                rec = json.loads(r.stdout.strip().splitlines()[-1])
+                break
+            print(f"# {name} attempt {attempt} failed (rc={r.returncode}):",
+                  file=sys.stderr)
             print(r.stdout + r.stderr, file=sys.stderr)
-            return 2
-        rec = json.loads(r.stdout.strip().splitlines()[-1])
+            if attempt == 1:
+                time.sleep(90)
+        if rec is None:
+            failed.append(name)
+            continue
         print(f"#   {name}: {rec['slope_s_per_chunk']} s/chunk "
               f"({rec['mp_per_s']} MP/s)", file=sys.stderr)
         results.append(rec)
@@ -153,6 +166,10 @@ def main() -> int:
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
+    if failed:
+        print(f"# FAILED variants (twice each): {','.join(failed)}",
+              file=sys.stderr)
+        return 2
     return 0
 
 
