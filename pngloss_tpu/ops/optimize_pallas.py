@@ -342,10 +342,12 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
 
 
 # (15, 31, 63): strengths <= 15 sweep a 24-row rotated window instead of
-# 40 (round-4 verdict item 3a).  Whether a <=127 class beats the dense
-# 256-row path for strengths 64-99 is an on-chip question: tools/ablate.py
-# --variants s75_c127,s75_dense measures it (docs/ROOFLINE.md records the
-# verdict); add 127 here only if it wins.
+# 40 (round-4 verdict item 3a: measured 0.1482 vs 0.1546 s/chunk at s=15).
+# A <=127 class for strengths 64-99 was measured and REJECTED on chip:
+# at s=75 the dense 256-row path wins (0.1933 vs 0.1975 s/chunk,
+# docs/ABLATE_r4.json s75_dense/s75_c127) — a 136-row rotation's dense
+# leading stages plus a ~136-row sweep cost more than the 256-row dense
+# sweep's simplicity.  docs/ROOFLINE.md records the analysis.
 WMAX_CLASSES = (15, 31, 63)
 
 

@@ -59,11 +59,15 @@ from pngloss_tpu.ops.pallas_row import (
 _ABLATE = os.environ.get("PNGLOSS_ABLATE", "")
 _ABLATE_NOSEL = _ABLATE in ("nosel", "both")
 _ABLATE_NOUPDATE = _ABLATE in ("noupdate", "both")
-# "rot16": run the barrel rotation on an int16 cast of the table (WRONG
-# results — packed keys need 31 bits) to measure the rotation's vreg-
-# traffic sensitivity: the measured saving upper-bounds what any exact
-# int16 base+delta histogram split could recover (verdict item 3b).
-_ABLATE_ROT16 = _ABLATE == "rot16"
+# "rot128": run the barrel rotation on the table's first 128 rows only
+# (WRONG results — windows crossing row 128 wrap early) to measure the
+# rotation's vreg-traffic sensitivity: dropping the leading bit-7 stage
+# removes the same dense-stage traffic an exact int16 base+delta split
+# would save, upper-bounding what that split could recover (verdict item
+# 3b).  The split itself cannot be measured directly: Mosaic has no
+# 16-bit rotate (`tpu.dynamic_rotate` on i16 -> "not implemented:
+# Rotate with non-32-bit data", jax 0.8.x / libtpu 2026-08).
+_ABLATE_ROT128 = _ABLATE == "rot128"
 
 
 def _roll_bcast(x, b: int):
@@ -229,9 +233,9 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                 # rows [0, width] so the selection reductions sweep
                 # ~(wmax+9) rows instead of 256 (width <= strength <= wmax,
                 # guaranteed by the caller's class choice)
-                if _ABLATE_ROT16:
-                    rot = _rotated_window(
-                        hist.astype(jnp.int16), start, wmax).astype(jnp.int32)
+                if _ABLATE_ROT128:
+                    rot = _rotated_window(hist[:128], start & 127, wmax,
+                                          rows=128)
                 else:
                     rot = _rotated_window(hist, start, wmax)
                 iota_w = lax.broadcasted_iota(

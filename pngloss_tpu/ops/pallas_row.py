@@ -99,7 +99,7 @@ def _rot_rows(wmax: int) -> int:
     return -(-(wmax + 9) // 8) * 8
 
 
-def _rotated_window(hist, start, wmax: int):
+def _rotated_window(hist, start, wmax: int, rows: int = 256):
     """Per-lane barrel rotation: returns a (_rot_rows(wmax), L) table whose
     row u holds hist[(start + u) & 0xFF] (valid for u <= wmax).
 
@@ -112,15 +112,27 @@ def _rotated_window(hist, start, wmax: int):
     Stages for bits >= 3 are 8-aligned static slices (free) + one select;
     bits 2..0 are static sub-vreg rolls + selects on the final small array.
     Total sweep work is ~(wmax+9)/256 of the dense path's for the
-    selection reductions, plus the ~4 dense-row-equivalents paid here."""
+    selection reductions, plus the ~4 dense-row-equivalents paid here.
+
+    rows=128 is an ABLATION-ONLY mode (wrong results: windows crossing
+    row 128 wrap early): it drops the leading bit-7 stage, removing the
+    same dense-stage vreg traffic an exact int16 base+delta split of the
+    table would save — Mosaic cannot measure that split directly (no
+    16-bit rotate: `tpu.dynamic_rotate` is 32-bit only)."""
     n3 = _rot_rows(wmax)
     n4, n5, n6, n7 = n3 + 8, n3 + 24, n3 + 56, n3 + 120
 
     def bit(k):
         return (start >> k) & 1
 
-    x = jnp.where(bit(7) > 0, pltpu.roll(hist, 256 - 128, axis=0), hist)[:n7]
-    x = jnp.where(bit(6) > 0, x[64:64 + n6], x[:n6])
+    if rows == 256:
+        x = jnp.where(bit(7) > 0,
+                      pltpu.roll(hist, 256 - 128, axis=0), hist)[:n7]
+        x = jnp.where(bit(6) > 0, x[64:64 + n6], x[:n6])
+    else:
+        assert rows == 128
+        x = jnp.where(bit(6) > 0,
+                      pltpu.roll(hist, 128 - 64, axis=0), hist)[:n6]
     x = jnp.where(bit(5) > 0, x[32:32 + n5], x[:n5])
     x = jnp.where(bit(4) > 0, x[16:16 + n4], x[:n4])
     x = jnp.where(bit(3) > 0, x[8:8 + n3], x[:n3])

@@ -44,12 +44,16 @@ VARIANTS = {
     "noupdate": dict(ablate="noupdate", strength=None, wmax=None),
     "both": dict(ablate="both", strength=None, wmax=None),
     "dense": dict(ablate="", strength=None, wmax=0),
-    # verdict item 3b bound: rotation on int16-cast table (wrong results,
-    # right traffic) — the saving upper-bounds any base+delta split
-    "rot16": dict(ablate="rot16", strength=None, wmax=None),
+    # verdict item 3b bound: rotation over a 128-row table (wrong results,
+    # right traffic — the leading dense stage dropped, like an int16
+    # base+delta split would; the split itself is uncompilable, Mosaic has
+    # no 16-bit rotate) — the saving upper-bounds any base+delta split
+    "rot128": dict(ablate="rot128", strength=None, wmax=None),
     # verdict item 3a: the new <=15 class vs the old <=31 class at s=15
     "w15_new": dict(ablate="", strength=15, wmax=15),
     "w15_old": dict(ablate="", strength=15, wmax=31),
+    # the <=63 class rate (for suite-weighted throughput, verdict item 7)
+    "w48": dict(ablate="", strength=48, wmax=63),
     # verdict item 7: strengths 64-99 — would a <=127 rotation class beat
     # the dense path they currently take?
     "s75_dense": dict(ablate="", strength=75, wmax=0),
@@ -98,7 +102,7 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--worker", default=None, help="internal: variant name")
     ap.add_argument("--variants", default="full,nosel,noupdate,both,dense",
-                    help="comma-separated subset (extras: rot16, "
+                    help="comma-separated subset (extras: rot128, "
                          "w15_new, w15_old, s75_dense, s75_c127)")
     ap.add_argument("--json", default=None, help="also write results here")
     args = ap.parse_args()
