@@ -9,6 +9,15 @@ HLO fingerprint, and later processes deserialize instead of recompiling.
 
 Cache location: $PNGLOSS_COMPILE_CACHE if set (the values ``0``, ``off``
 or ``none`` disable the cache), else ``~/.cache/pngloss_tpu/xla-cache``.
+
+CPU-only processes never persist: XLA's CPU backend stores AOT-compiled
+executables whose embedded machine-feature lists (e.g. +prefer-no-scatter)
+are checked against the loading host by cpu_aot_loader — mismatches spam
+load errors and can SIGILL. CPU compiles finish in seconds (only the
+remote TPU tunnel is minutes-slow), so persistence buys nothing there.
+Every CPU consumer in this repo (tests/conftest.py, tools/*.py, the
+dryrun) sets ``jax.config.jax_platforms = "cpu"`` *before* importing
+pngloss_tpu.ops, which is what :func:`enable` inspects.
 """
 
 from __future__ import annotations
@@ -16,6 +25,19 @@ from __future__ import annotations
 import os
 
 _enabled = False
+
+
+def _cpu_only() -> bool:
+    """True when this process has explicitly pinned JAX to the CPU backend
+    (jax.config or JAX_PLATFORMS). Never initializes the backend."""
+    try:
+        import jax
+
+        plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    except Exception:
+        return False
+    names = [p.strip().lower() for p in str(plats).split(",") if p.strip()]
+    return bool(names) and all(n == "cpu" for n in names)
 
 
 def cache_dir() -> str | None:
@@ -42,7 +64,7 @@ def enable() -> None:
         return
     _enabled = True
     path = cache_dir()
-    if path is None:
+    if path is None or _cpu_only():
         return
     try:
         os.makedirs(path, exist_ok=True)

@@ -49,9 +49,13 @@ NUM_FILTERS = 5
 STRIDE = 8  # sublane stride per pixel/column (alignment unit)
 
 
-def _tdiv_pos(u, div):
+def _tdiv_pos(u, div, rdiv=None):
     """floor(u / div) for int32 u >= 0 and runtime int32 div > 0, via f32
-    reciprocal multiply + two integer corrections.
+    reciprocal multiply + two integer corrections.  rdiv, when given, is
+    the precomputed f32 ``1.0 / div`` (loop-invariant hoisting: Mosaic
+    does not reliably hoist the reciprocal out of a fori_loop body); it
+    must be exactly the value this function would compute, so exactness
+    analysis below is unchanged.
 
     Exactness domain: u < 2^20, with margin. The raw estimate is
     q0 = trunc(f32(u) * f32(1/div)); with IEEE round-to-nearest the
@@ -72,7 +76,9 @@ def _tdiv_pos(u, div):
     dependency hop (one row down, or 3 columns right within a row), so
     batches with enough hops to threaten 2^20 are routed to the pure-XLA
     path (native int32 division, exact) by optimize_batch_pallas."""
-    q = (u.astype(jnp.float32) * (1.0 / div.astype(jnp.float32))).astype(jnp.int32)
+    if rdiv is None:
+        rdiv = 1.0 / div.astype(jnp.float32)
+    q = (u.astype(jnp.float32) * rdiv).astype(jnp.int32)
     r = u - q * div
     q = q + (r >= div).astype(jnp.int32) - (r < 0).astype(jnp.int32)
     r = u - q * div
@@ -80,9 +86,9 @@ def _tdiv_pos(u, div):
     return q
 
 
-def _tdiv(a, div):
+def _tdiv(a, div, rdiv=None):
     """C truncating division for signed a, positive runtime div."""
-    q = _tdiv_pos(jnp.abs(a), div)
+    q = _tdiv_pos(jnp.abs(a), div, rdiv)
     return jnp.where(a < 0, -q, q)
 
 
@@ -131,6 +137,11 @@ def _rotated_window(hist, start, wmax: int, rows: int = 256):
         x = jnp.where(bit(6) > 0, x[64:64 + n6], x[:n6])
     else:
         assert rows == 128
+        # truncated-table mode starts at the bit-6 stage: its slice needs
+        # n6 = _rot_rows(wmax) + 56 valid rows, so wmax must stay small
+        # enough (<= 63) — guard here so a hand-edited ablation spec fails
+        # loudly instead of via numpy slice-clamping shape errors
+        assert n6 <= rows, f"rows=128 rotation needs wmax <= 63, got {wmax}"
         x = jnp.where(bit(6) > 0,
                       pltpu.roll(hist, 128 - 64, axis=0), hist)[:n6]
     x = jnp.where(bit(5) > 0, x[32:32 + n5], x[:n5])

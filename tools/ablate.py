@@ -102,8 +102,7 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--worker", default=None, help="internal: variant name")
     ap.add_argument("--variants", default="full,nosel,noupdate,both,dense",
-                    help="comma-separated subset (extras: rot128, "
-                         "w15_new, w15_old, s75_dense, s75_c127)")
+                    help="comma-separated subset of: " + ",".join(VARIANTS))
     ap.add_argument("--json", default=None, help="also write results here")
     args = ap.parse_args()
 
