@@ -241,6 +241,22 @@ def main() -> None:
     stream_s = time.time() - t0
     stream_mp_s = stream_mp / stream_s
 
+    # the stream rate is tunnel-state-bound on this box and can silently
+    # degrade 2x between rounds (BENCH_r04 read 1.68 MP/s vs r3's 3.08 on
+    # identical code) — apply the same best-known calibration the slope
+    # gets, so the artifact self-describes a degraded capture instead of
+    # looking like a regression
+    stream_key = f"stream-v1|{batch_n}|s{strength}|{jax.default_backend()}"
+    stream_best = calib.get(stream_key)
+    # tighter factor than the slope guard: the stream is one ~15 s capture
+    # (not a min-of-N), so honest run-to-run spread is small — r4's missed
+    # degradation was only 1.83x
+    stream_degraded = (stream_best is not None
+                       and stream_mp_s * 1.5 < stream_best)
+    if not stream_degraded:
+        calib[stream_key] = max(stream_mp_s, stream_best or 0.0)
+        _store_calib(calib)
+
     # baseline: 10k 1MP img/s across 8 chips -> 1250 MP/s/chip
     per_chip_target = 10000.0 / 8.0
     n_chips = max(1, len(jax.devices()))
@@ -258,6 +274,10 @@ def main() -> None:
         record["best_known_slope_s"] = round(best_known, 4)
         record["best_known_value"] = round(
             chunk_mp / best_known / n_chips, 3)
+    record["stream_mp_s"] = round(stream_mp_s, 2)
+    if stream_degraded:
+        record["stream_degraded_capture"] = True
+        record["stream_best_known_mp_s"] = round(stream_best, 2)
     print(json.dumps(record))
     print(f"# device slope: cluster={slope:.3f}s/chunk "
           f"(min={min(slopes):.3f}, first-capture={first_slope:.3f}, "
@@ -265,9 +285,11 @@ def main() -> None:
           f"all: {[round(s, 3) for s in sorted(slopes)]}) "
           f"chunk={chunk_mp:.2f}MP compile+first={compile_s:.1f}s",
           file=sys.stderr)
+    deg_note = (f" [DEGRADED tunnel state: best-known {stream_best:.2f}]"
+                if stream_degraded else "")
     print(f"# stream (tunnel-transfer-bound on this box): "
           f"{stream_mp:.1f}MP in {stream_s:.2f}s = {stream_mp_s:.2f} MP/s; "
-          f"devices={n_chips}", file=sys.stderr)
+          f"devices={n_chips}{deg_note}", file=sys.stderr)
 
 
 if __name__ == "__main__":
