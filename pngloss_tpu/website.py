@@ -23,6 +23,12 @@ Concurrency is capped at 2 in-flight requests per endpoint
 (pnglossapi.go:239-251).
 
 Usage: python -m pngloss_tpu.website [--port 8117] [--store DIR]
+       [--socket PATH] [--fcgi]
+
+Transports: HTTP on 127.0.0.1:PORT (default), HTTP over a unix socket
+(--socket PATH; nginx `proxy_pass http://unix:PATH;`), or real FastCGI
+records (--fcgi, pngloss_tpu/fcgi.py; nginx `fastcgi_pass unix:PATH;`)
+— the reference sidecar's exact wire protocol (pnglossapi.go:91-124).
 """
 
 from __future__ import annotations
@@ -387,15 +393,41 @@ class _UnixHTTPServer(ThreadingHTTPServer):
         return sock, ("unix", 0)
 
 
+def _bind_listener(port: int, unix_socket: str | None):
+    """A bound+listening socket for the FCGI transport, with the same
+    stale-socket-only unlink guard as _UnixHTTPServer.server_bind."""
+    import socket as socket_mod
+
+    if unix_socket:
+        try:
+            st = os.stat(unix_socket)
+        except OSError:
+            st = None
+        if st is not None and stat.S_ISSOCK(st.st_mode):
+            os.unlink(unix_socket)
+        sock = socket_mod.socket(socket_mod.AF_UNIX)
+        sock.bind(unix_socket)
+    else:
+        sock = socket_mod.socket(socket_mod.AF_INET)
+        sock.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_REUSEADDR, 1)
+        sock.bind(("127.0.0.1", port))
+    sock.listen(16)
+    return sock
+
+
 def make_server(port: int = 8117, store: str = "/tmp/pngloss_store",
                 prefix: str = "/",
-                unix_socket: str | None = None) -> ThreadingHTTPServer:
+                unix_socket: str | None = None, fcgi: bool = False):
     originals = OriginalsOnDisk(store)
     handler = type("BoundHandler", (Handler,), dict(
         originals=originals,
         compresseds=CompressedsInMemory(originals),
         prefix=prefix,
     ))
+    if fcgi:
+        from pngloss_tpu.fcgi import FCGIServer
+
+        return FCGIServer(_bind_listener(port, unix_socket), handler)
     if unix_socket:
         return _UnixHTTPServer(unix_socket, handler)
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
@@ -409,13 +441,19 @@ def main(argv=None) -> None:
                          "TCP port (behind nginx: proxy_pass "
                          "http://unix:PATH;) — the reference sidecar's "
                          "unix-socket deployment contract")
+    ap.add_argument("--fcgi", action="store_true",
+                    help="speak the FastCGI record protocol instead of "
+                         "HTTP — the reference sidecar's exact wire "
+                         "format (behind nginx: fastcgi_pass unix:PATH;)")
     ap.add_argument("--store", default="/tmp/pngloss_store")
     args = ap.parse_args(argv)
-    srv = make_server(args.port, args.store, unix_socket=args.socket)
+    srv = make_server(args.port, args.store, unix_socket=args.socket,
+                      fcgi=args.fcgi)
+    proto = "fcgi" if args.fcgi else "http"
     if args.socket:
-        print(f"serving on unix:{args.socket}")
+        print(f"serving {proto} on unix:{args.socket}")
     else:
-        print(f"serving on http://127.0.0.1:{args.port}/")
+        print(f"serving {proto} on 127.0.0.1:{args.port}")
     srv.serve_forever()
 
 
