@@ -18,11 +18,21 @@ byte parity with the default build requires the transform stay off).
 Scope: matrix-shaper profiles (rXYZ/gXYZ/bXYZ + rTRC/gTRC/bTRC with
 'curv'/'para' curves) — the kind every PNG-embedded display profile is —
 plus LUT-based profiles through their A2B0 pipeline (lut8/lut16/lutAToB
-tag types, tetrahedral CLUT interpolation, XYZ and Lab PCS encodings);
-validated against real Little CMS (tests/test_icc.py). Little CMS's
-exact integer rounding is not byte-anchored (the transform is float,
-rounded once at the end), since no default-build oracle exists to
-anchor to.
+tag types, tetrahedral CLUT interpolation — per-channel grid sizes for
+lutAToB — XYZ and Lab PCS encodings); validated against real Little CMS
+(tests/test_icc.py).
+
+Rounding policy (the one deliberate deviation from lcms): the whole
+transform runs in float64 and quantizes to 8 bits ONCE at the end with
+``np.rint`` (round-half-to-even). lcms walks 16-bit intermediate tables
+and rounds half-away at the final stage, so pixels whose true value
+lands within ~1/2 LSB of a code boundary may differ by one code value
+(tests/test_icc.py::test_rounding_boundary_envelope pins the envelope:
+|ours - lcms| <= 1 on boundary-hugging inputs, <= 3 in general). This
+is not byte-anchorable: the reference's USE_LCMS build is non-default,
+no oracle for it exists on this box, and lcms's own output varies by
+version/flags (its optimized device-link path differs from its own
+un-optimized pipeline by up to 15 LSB on LUT profiles).
 """
 
 from __future__ import annotations
@@ -232,11 +242,13 @@ def _interp_curve_tables(tables: np.ndarray, x: np.ndarray) -> np.ndarray:
 
 def _clut_tetrahedral(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Tetrahedral interpolation of a 3-D CLUT (the interpolator lcms uses
-    for 3-channel tables). clut: (g, g, g, out_ch) in [0,1], first input
-    channel on axis 0; x: (P, 3) in [0,1]. Returns (P, out_ch)."""
-    g = clut.shape[0]
-    t = np.clip(x, 0.0, 1.0) * (g - 1)
-    i0 = np.minimum(t.astype(np.int64), g - 2)
+    for 3-channel tables). clut: (g0, g1, g2, out_ch) in [0,1] — per-axis
+    grid sizes, as lutAToB allows (mft1/mft2 tables are always cubic) —
+    first input channel on axis 0; x: (P, 3) in [0,1]. Returns
+    (P, out_ch)."""
+    g = np.array(clut.shape[:3], np.int64)
+    t = np.clip(x, 0.0, 1.0) * (g - 1)[None, :]
+    i0 = np.minimum(t.astype(np.int64), (g - 2)[None, :])
     f = t - i0                                  # fractional parts (P, 3)
 
     def at(di, dj, dk):
@@ -354,19 +366,18 @@ def _parse_mab(tag: bytes):
     if oclut:
         if oclut + 20 > len(tag):
             return None
-        grid = tag[oclut:oclut + 3]
-        if len(set(grid)) != 1:          # uniform grids only (the usual)
-            return None
-        g = grid[0]
+        # lutAToB grids may differ per input channel (ICC.1 10.12: one
+        # grid-points byte per channel) — unlike the always-cubic mft LUTs
+        g0, g1, g2 = tag[oclut], tag[oclut + 1], tag[oclut + 2]
         prec = tag[oclut + 16]
         if prec not in (1, 2):
             return None          # ICC.1 allows only 8- or 16-bit CLUTs
         dt, scale = ((np.uint8, 255.0) if prec == 1 else (">u2", 65535.0))
-        count = g ** 3 * 3
-        if oclut + 20 + count * prec > len(tag) or g < 2:
+        count = g0 * g1 * g2 * 3
+        if oclut + 20 + count * prec > len(tag) or min(g0, g1, g2) < 2:
             return None
         clut = np.frombuffer(tag, dt, count=count, offset=oclut + 20).reshape(
-            g, g, g, 3).astype(np.float64) / scale
+            g0, g1, g2, 3).astype(np.float64) / scale
 
     mat = None
     if omat:
@@ -395,10 +406,31 @@ def _parse_mab(tag: bytes):
     return transform
 
 
+# ICC v4 perceptual reference medium black point (v4 spec; what lcms
+# subtracts when building the input pipeline of a v4 LUT profile under
+# INTENT_PERCEPTUAL — the intent rwpng's transform always requests)
+_V4_PERCEPTUAL_BLACK = np.array([0.00336, 0.0034731, 0.00287])
+
+
+def profile_version(profile: bytes) -> int:
+    """Encoded ICC version from the header (e.g. 0x04300000)."""
+    if len(profile) < 12:
+        return 0
+    return struct.unpack(">I", profile[8:12])[0]
+
+
 def parse_a2b(profile: bytes):
     """A2B0 pipeline of a LUT-based RGB profile -> fn (P,3 device floats)
     -> (P,3) XYZ(D50), or None. Handles lut8/lut16/lutAToB tag types and
-    both PCS encodings (XYZ, Lab legacy/v4)."""
+    both PCS encodings (XYZ, Lab legacy/v4).
+
+    For version >= 4 profiles the returned XYZ is normalized from the v4
+    perceptual PCS (reference-medium black, nonzero) to zero-black:
+    XYZ' = (XYZ - bp) * wp / (wp - bp).  This reproduces what Little CMS
+    does to a v4 LUT profile under INTENT_PERCEPTUAL (the intent the
+    reference's transform requests, rwpng.c:309-392) — fitted and
+    verified against ImageCms in tests/test_icc.py (matrix-shaper
+    profiles do NOT get the adjustment, matching lcms's behavior)."""
     tags = _tag_table(profile)
     if tags is None or b"A2B0" not in tags:
         return None
@@ -425,6 +457,8 @@ def parse_a2b(profile: bytes):
     else:
         return None
 
+    v4_percep = profile_version(profile) >= 0x04000000
+
     def to_xyz(x):
         y = pipeline(x)
         if pcs == b"Lab ":
@@ -441,9 +475,14 @@ def parse_a2b(profile: bytes):
                     y[:, 1] * 255.0 - 128.0,
                     y[:, 2] * 255.0 - 128.0,
                 ], axis=1)
-            return _lab_to_xyz(lab)
-        # PCS XYZ: encoding max 0xFFFF = 1.99997 (u1Fixed15)
-        return y * (65535.0 / 32768.0)
+            xyz = _lab_to_xyz(lab)
+        else:
+            # PCS XYZ: encoding max 0xFFFF = 1.99997 (u1Fixed15)
+            xyz = y * (65535.0 / 32768.0)
+        if v4_percep:
+            bp, wp = _V4_PERCEPTUAL_BLACK, _D50
+            xyz = (xyz - bp[None, :]) * (wp / (wp - bp))[None, :]
+        return xyz
 
     return to_xyz
 
