@@ -56,9 +56,26 @@ from pngloss_tpu.ops.pallas_row import (
 # variant INTENTIONALLY breaks byte parity; production must run with the
 # variable unset (ablate.py isolates each variant in its own process, so
 # in-process program caches never mix variants).
-_ABLATE = os.environ.get("PNGLOSS_ABLATE", "")
-_ABLATE_NOSEL = _ABLATE in ("nosel", "both")
-_ABLATE_NOUPDATE = _ABLATE in ("noupdate", "both")
+#
+# Comma-composable SUB-SKELETON flags (round-5 verdict item 1: the
+# skeleton is the majority of device time and its terms must be pinned
+# by measurement) — each removes one skeleton stage, measured on top of
+# "both":  "nosierra" drops the whole diffusion (math + register window
+# + error-buffer traffic), "nosierramath" only the truncating-division
+# chain (window traffic stays), "noderiv" the derivative error (math +
+# the oprev read), "nopred" the predictor arithmetic, "noband" the band
+# math, and "shell" composes all of them — the irreducible scan shell
+# (block reads, qrow write, loop control).
+_ABLATE = set(f for f in os.environ.get("PNGLOSS_ABLATE", "").split(",") if f)
+if "shell" in _ABLATE:
+    _ABLATE |= {"both", "nosierra", "noderiv", "nopred", "noband"}
+_ABLATE_NOSEL = bool(_ABLATE & {"nosel", "both"})
+_ABLATE_NOUPDATE = bool(_ABLATE & {"noupdate", "both"})
+_ABLATE_NOSIERRA = "nosierra" in _ABLATE
+_ABLATE_NOSIERRAMATH = "nosierramath" in _ABLATE
+_ABLATE_NODERIV = "noderiv" in _ABLATE
+_ABLATE_NOPRED = "nopred" in _ABLATE
+_ABLATE_NOBAND = "noband" in _ABLATE
 # "rot128": run the barrel rotation on the table's first 128 rows only
 # (WRONG results — windows crossing row 128 wrap early) to measure the
 # rotation's vreg-traffic sensitivity: dropping the leading bit-7 stage
@@ -67,7 +84,7 @@ _ABLATE_NOUPDATE = _ABLATE in ("noupdate", "both")
 # 3b).  The split itself cannot be measured directly: Mosaic has no
 # 16-bit rotate (`tpu.dynamic_rotate` on i16 -> "not implemented:
 # Rotate with non-32-bit data", jax 0.8.x / libtpu 2026-08).
-_ABLATE_ROT128 = _ABLATE == "rot128"
+_ABLATE_ROT128 = "rot128" in _ABLATE
 
 
 def _roll_bcast(x, b: int):
@@ -121,6 +138,12 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     bleed = bleed_ref[0, 0]
     s = s_ref[:, :]
     band = s + 1
+    # loop-invariant reciprocals for the in-scan truncating divisions
+    # (identical expressions to what _tdiv would compute per step, hoisted
+    # — Mosaic does not reliably hoist them out of the fori_loop itself)
+    rband = 1.0 / band.astype(jnp.float32)
+    rbleed = 1.0 / bleed.astype(jnp.float32)
+    r9 = 1.0 / jnp.float32(9)
     iota_t = lax.broadcasted_iota(jnp.int32, (table, 1), 0)
     f_lane = lax.broadcasted_iota(jnp.int32, (1, l5), 1) // (l5 // 5)
     y = pl.program_id(0)
@@ -137,7 +160,8 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
             cp.start()
             cp.wait()
 
-    e1n_s[:, :] = jnp.zeros_like(e1n_s)
+    # (e1n_s is NOT zeroed here: the scan below writes every column of it
+    # exactly once — finalized window columns in-loop, edges in the flush)
     # packed-key work table (freq*256 + per-filter rank); the carried
     # histogram hist_s holds plain winner frequencies
     hw_seed = hist_s[:, :] * 256 + rank_ref[:, :]
@@ -167,29 +191,46 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     def body(x, carry):
         # all carries are (8, L) pixel blocks; channel-independent math
         # runs once on the whole block (channels on sublanes) and only the
-        # histogram-coupled selection runs per channel
-        left8, prev_above, prev_orig, prev_oprev, e_hi8, e_lo8, msad = carry
+        # histogram-coupled selection runs per channel.  The Sierra error
+        # window rides in REGISTERS (p_*/n*/m* below): step x's diffusion
+        # lands at columns x..x+4, which later steps consume within 4
+        # steps, so a sliding register window finalizes each error column
+        # with ONE memory op instead of the 10 per-step read-modify-writes
+        # the buffers would otherwise take (the adds happen in the same
+        # order, so the committed values are bit-identical).
+        (left8, prev_above, prev_orig, prev_oprev, e_hi8, e_lo8, msad,
+         p_a, p_b, n1, n2, n3, n4, m2, m3) = carry
         cmask = (x < wr_ref[:, :]).astype(jnp.int32)        # (1, L)
         orig_px = orig_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         above_px = qprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
-        oprev_px = oprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
-        ce_px = err0_s[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
+        # (the oprev read exists only for the derivative error — its cost
+        # belongs to the noderiv ablation term)
+        oprev_px = orig_px if _ABLATE_NODERIV else \
+            oprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
+        # the carried-error read: the seeded buffer (previous row's
+        # diffusion) plus the pending in-register contributions from the
+        # last two steps (rem at x-1, threes at x-2)
+        ce_px = err0_s[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE),
+                       :] + p_a
 
         # ---- channel-batched predictor + band math on (8, L) blocks ----
-        avg = (above_px + left8) >> 1
-        p = above_px - prev_above
-        pd = left8 - prev_above
-        p_left = jnp.abs(p)
-        p_above = jnp.abs(pd)
-        p_d = jnp.abs(p + pd)
-        paeth = jnp.where(
-            (p_left <= p_above) & (p_left <= p_d), left8,
-            jnp.where(p_above <= p_d, above_px, prev_above))
-        pred8 = jnp.where(
-            f_lane == 1, left8,
-            jnp.where(f_lane == 2, above_px,
-                      jnp.where(f_lane == 3, avg,
-                                jnp.where(f_lane == 4, paeth, 0))))
+        if _ABLATE_NOPRED:
+            avg = paeth = pred8 = left8   # ablation: skip predictor math
+        else:
+            avg = (above_px + left8) >> 1
+            p = above_px - prev_above
+            pd = left8 - prev_above
+            p_left = jnp.abs(p)
+            p_above = jnp.abs(pd)
+            p_d = jnp.abs(p + pd)
+            paeth = jnp.where(
+                (p_left <= p_above) & (p_left <= p_d), left8,
+                jnp.where(p_above <= p_d, above_px, prev_above))
+            pred8 = jnp.where(
+                f_lane == 1, left8,
+                jnp.where(f_lane == 2, above_px,
+                          jnp.where(f_lane == 3, avg,
+                                    jnp.where(f_lane == 4, paeth, 0))))
         if bpp == 2:
             # gray+alpha: the alpha channel (row 1) reads dither lane 3
             # (color_delta.c:9-39) — remap by a static sublane roll
@@ -205,19 +246,27 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
         osym8 = orig_px - predw8
         filt8 = here8 - predw8
 
-        q8 = _tdiv_pos(jnp.abs(filt8), band)
-        mn8 = jnp.where(filt8 < 0, -q8 * band - s, q8 * band)
-        mx8 = mn8 + s
-        mn8 = jnp.where(mn8 + predw8 < 0, -predw8, mn8)
-        mx8 = jnp.where(mx8 + predw8 > 255, 255 - predw8, mx8)
-        inv = mx8 < mn8
-        over = inv & (filt8 + predw8 > 255)
-        under = inv & (filt8 + predw8 < 0)
-        mn8 = jnp.where(over, 255 - predw8, jnp.where(under, -predw8, mn8))
-        mx8 = jnp.where(over, 255 - predw8, jnp.where(under, -predw8, mx8))
-        start8 = mn8 & 0xFF
-        width8 = mx8 - mn8
-        u_orig8 = osym8 - mn8
+        if _ABLATE_NOBAND:
+            mn8 = osym8                   # ablation: skip band math
+            start8 = mn8 & 0xFF
+            width8 = jnp.zeros_like(mn8)
+            u_orig8 = jnp.zeros_like(mn8)
+        else:
+            q8 = _tdiv_pos(jnp.abs(filt8), band, rband)
+            mn8 = jnp.where(filt8 < 0, -q8 * band - s, q8 * band)
+            mx8 = mn8 + s
+            mn8 = jnp.where(mn8 + predw8 < 0, -predw8, mn8)
+            mx8 = jnp.where(mx8 + predw8 > 255, 255 - predw8, mx8)
+            inv = mx8 < mn8
+            over = inv & (filt8 + predw8 > 255)
+            under = inv & (filt8 + predw8 < 0)
+            mn8 = jnp.where(over, 255 - predw8,
+                            jnp.where(under, -predw8, mn8))
+            mx8 = jnp.where(over, 255 - predw8,
+                            jnp.where(under, -predw8, mx8))
+            start8 = mn8 & 0xFF
+            width8 = mx8 - mn8
+            u_orig8 = osym8 - mn8
 
         # ---- per-channel: histogram-coupled selection + update ----
         back8 = jnp.zeros((STRIDE, l5), jnp.int32)
@@ -284,17 +333,23 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
         # accumulated per (channel-row, lane) with the exact /128 split —
         # the identity sum(e) = 128*sum(e>>7) + sum(e&127) holds for any
         # grouping, so the row-end reduce recovers the C totals exactly
-        d_above = (back8 - above_px) - (orig_px - oprev_px)
-        d_diag = (back8 - prev_above) - (orig_px - prev_oprev)
-        d_left = (back8 - left8) - (orig_px - prev_orig)
-        e_px8 = w8 * (d_above * d_above + d_diag * d_diag
-                      + d_left * d_left) * cmask
-        e_hi8 = e_hi8 + (e_px8 >> 7)
-        e_lo8 = e_lo8 + (e_px8 & 127)
+        if not _ABLATE_NODERIV:
+            d_above = (back8 - above_px) - (orig_px - oprev_px)
+            d_diag = (back8 - prev_above) - (orig_px - prev_oprev)
+            d_left = (back8 - left8) - (orig_px - prev_orig)
+            e_px8 = w8 * (d_above * d_above + d_diag * d_diag
+                          + d_left * d_left) * cmask
+            e_hi8 = e_hi8 + (e_px8 >> 7)
+            e_lo8 = e_lo8 + (e_px8 & 127)
 
         # ---- channel-batched Sierra diffusion (optimize_state.c:390-490)
         # on the dither-lane layout. The transparent-pixel rule forces
         # here == back == 0, so the alpha diff is zeroed where transparent.
+        if _ABLATE_NOSIERRA:
+            # ablation: no diffusion at all — lane mapping, division
+            # chain, register window and error-buffer traffic all gone
+            return (back8, above_px, orig_px, oprev_px, e_hi8, e_lo8,
+                    msad, p_a, p_b, n1, n2, n3, n4, m2, m3)
         diffs8 = (here8 - back8) * cmask
         if bpp % 2 == 0:
             transp8 = (ri8 == bpp - 1) & (orig_px == 0)
@@ -309,37 +364,59 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                             jnp.where(ri8 == 0, diffs8, 0))
         else:
             dl8 = diffs8       # identity lane map; padding rows are zero
-        d = _tdiv(dl8, bleed)
-        twos8 = _tdiv_shift(d, 4)
-        d = d - twos8 * 4
-        threes8 = _tdiv_shift(d, 3)
-        d = d - threes8 * 2
-        fours8 = _tdiv(d * 2, jnp.int32(9))
-        d = d - fours8 * 2
-        five8 = _tdiv_shift(d, 1)
-        rem8 = d - five8
+        if _ABLATE_NOSIERRAMATH:
+            # ablation: skip the truncating-division chain, keep the
+            # register window + error-buffer traffic
+            twos8 = threes8 = fours8 = five8 = rem8 = dl8
+        else:
+            d = _tdiv(dl8, bleed, rbleed)
+            twos8 = _tdiv_shift(d, 4)
+            d = d - twos8 * 4
+            threes8 = _tdiv_shift(d, 3)
+            d = d - threes8 * 2
+            fours8 = _tdiv(d * 2, jnp.int32(9), r9)
+            d = d - fours8 * 2
+            five8 = _tdiv_shift(d, 1)
+            rem8 = d - five8
 
-        def rmw(ref, col, val):
-            r = pl.multiple_of(col * STRIDE, 8)
-            ref[pl.ds(r, STRIDE), :] = ref[pl.ds(r, STRIDE), :] + val
+        # slide the register error windows. err0 (current row, cols x+3 /
+        # x+4) is never written to memory at all: its only reader is the
+        # ce fetch above, which absorbs the pendings before the buffer is
+        # overwritten at winner commit. e0n (next row, cols x..x+4)
+        # finalizes col x = seed + pendings with one read-modify-write;
+        # e1n (row after, cols x+1..x+3) has a zero seed, so col x+1 is a
+        # pure write (which also replaces the old full-buffer memset).
+        if not _ABLATE_NOSIERRA:
+            colx = pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE)
+            e0n_s[colx, :] = e0n_s[colx, :] + (n1 + twos8)
+            n1, n2, n3, n4 = n2 + fours8, n3 + five8, n4 + fours8, twos8
+            colx1 = pl.ds(pl.multiple_of((x + 1) * STRIDE, 8), STRIDE)
+            e1n_s[colx1, :] = m2 + twos8
+            m2, m3 = m3 + threes8, twos8
+            p_a, p_b = p_b + rem8, threes8
 
-        rmw(err0_s, x + 3, rem8)        # current row
-        rmw(err0_s, x + 4, threes8)
-        rmw(e0n_s, x, twos8)            # next row
-        rmw(e0n_s, x + 1, fours8)
-        rmw(e0n_s, x + 2, five8)
-        rmw(e0n_s, x + 3, fours8)
-        rmw(e0n_s, x + 4, twos8)
-        rmw(e1n_s, x + 1, twos8)        # row after next
-        rmw(e1n_s, x + 2, threes8)
-        rmw(e1n_s, x + 3, twos8)
-
-        return (back8, above_px, orig_px, oprev_px, e_hi8, e_lo8, msad)
+        return (back8, above_px, orig_px, oprev_px, e_hi8, e_lo8, msad,
+                p_a, p_b, n1, n2, n3, n4, m2, m3)
 
     z8 = jnp.zeros((STRIDE, l5), jnp.int32)
     msad0 = tuple(z8 for _ in range(NUM_FILTERS)) if adaptive else ()
-    _, _, _, _, e_hi8, e_lo8, msad = lax.fori_loop(
-        0, w, body, (z8, z8, z8, z8, z8, z8, msad0))
+    (_, _, _, _, e_hi8, e_lo8, msad,
+     p_a, p_b, n1, n2, n3, n4, m2, m3) = lax.fori_loop(
+        0, w, body, (z8, z8, z8, z8, z8, z8, msad0,
+                     z8, z8, z8, z8, z8, z8, z8, z8))
+
+    # flush the register windows: e0n pendings map to cols w..w+3 (col
+    # w+4 receives nothing — its seed stands), e1n pendings to cols
+    # w+1 / w+2; e1n cols 0 and w+3 / w+4 are never written in-loop and
+    # must read zero (the memset they used to get is gone)
+    for i, reg in enumerate((n1, n2, n3, n4)):
+        cf = pl.ds((w + i) * STRIDE, STRIDE)
+        e0n_s[cf, :] = e0n_s[cf, :] + reg
+    e1n_s[pl.ds((w + 1) * STRIDE, STRIDE), :] = m2
+    e1n_s[pl.ds((w + 2) * STRIDE, STRIDE), :] = m3
+    e1n_s[pl.ds(0, STRIDE), :] = z8
+    e1n_s[pl.ds((w + 3) * STRIDE, 2 * STRIDE), :] = jnp.zeros(
+        (2 * STRIDE, l5), jnp.int32)
     e_hi = jnp.sum(e_hi8, axis=0, keepdims=True)
     e_lo = jnp.sum(e_lo8, axis=0, keepdims=True)
 

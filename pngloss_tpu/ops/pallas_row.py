@@ -157,7 +157,7 @@ def _rotated_window(hist, start, wmax: int, rows: int = 256):
 
 def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 hist_ref, ofreq_ref, qrow_ref, hist_out_ref, e0n_ref, e1n_ref,
-                err0_ref, *, w: int, bpp: int, b: int, table: int,
+                *, w: int, bpp: int, b: int, table: int,
                 packed: bool = False, wmax: int = 0):
     """See module docstring. Shapes (L = 5B lanes, filter-major; S = 8):
       s_ref               : (1, L)        int32  per-lane strength
@@ -173,23 +173,33 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
       qrow_ref            : (S*W, L)      int32  out: quantized row
       hist_out_ref        : (TABLE, L)    int32  out: updated histogram
       e0n_ref, e1n_ref    : (S*(W+5), L)  int32  out: next row's dither rows
-      err0_ref            : (S*(W+5), L)  int32  scratch: current dither row 0
+
+    The Sierra error window rides in loop REGISTERS: step x's diffusion
+    lands at columns x..x+4, consumed within 4 steps, so a sliding
+    register window finalizes each error column with one memory op (the
+    adds happen in the same order, so committed values are bit-identical).
+    The current dither row never touches memory at all — its only reader
+    is the carried-error fetch, which reads the e0 INPUT plus the pending
+    registers — and the next rows' outputs seed from e1 / zero at
+    finalize time, replacing the old row-start full-buffer copies.
     """
     del b  # lane blocking is encoded in s_ref/ofreq_ref contents
     l5 = s_ref.shape[1]
     bleed = bleed_ref[0, 0]
     s = s_ref[:, :]                   # (1, L)
     band = s + 1
+    # loop-invariant reciprocals for the in-scan truncating divisions
+    # (identical expressions to what _tdiv would compute per step)
+    rband = 1.0 / band.astype(jnp.float32)
+    rbleed = 1.0 / bleed.astype(jnp.float32)
+    r9 = 1.0 / jnp.float32(9)
     iota_t = lax.broadcasted_iota(jnp.int32, (table, 1), 0)
     f_lane = lax.broadcasted_iota(jnp.int32, (1, l5), 1) // (l5 // 5)
 
-    # dither rows: row 0 accumulates in scratch; next row's rows 0/1 are the
-    # current row's rows 1/2 (the buffer shift of optimize_state.c:344-351
-    # is built in): row 1 accumulates into e0n (seeded from e1), row 2 into
-    # e1n (seeded with zeros)
-    err0_ref[:, :] = e0_ref[:, :]
-    e0n_ref[:, :] = e1_ref[:, :]
-    e1n_ref[:, :] = jnp.zeros_like(e1n_ref)
+    # next row's dither rows 0/1 are the current row's rows 1/2 (the
+    # buffer shift of optimize_state.c:344-351 is built in): e0n seeds
+    # from e1 and e1n from zero — both applied column-by-column at
+    # register-window finalize time below, not via full-buffer copies
     hist_out_ref[:, :] = hist_ref[:, :]
 
     def compose(vals, rows_n):
@@ -209,14 +219,20 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
         return out
 
     def body(x, carry):
-        left, prev_above = carry
+        left, prev_above, pr_a, pr_b, pn1, pn2, pn3, pn4, pm2, pm3 = carry
         # left: tuple of bpp (1, L) quantized left-pixel channels;
         # prev_above: (S, L) previous pixel of the quantized previous row
-        # (the diagonal neighbor — carried to avoid a fourth block read)
+        # (the diagonal neighbor — carried to avoid a fourth block read);
+        # pr_*/pn*/pm*: the register-window pendings for the current /
+        # next / after-next dither rows (module docstring; the p prefix
+        # keeps them clear of the selection masks m1/m2/m3 below)
         cmask = (x < wr_ref[:, :]).astype(jnp.int32)        # (1, L)
         orig_px = orig_ref[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
         above_px = qprev_ref[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
-        ce_px = err0_ref[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
+        # carried error = the seeded input row plus the pending
+        # in-register contributions from the last two steps
+        ce_px = e0_ref[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE),
+                       :] + pr_a
 
         backs = []
         heres = []
@@ -253,7 +269,7 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             osym = orig_c - predw
             filt = here_c - predw
 
-            q = _tdiv_pos(jnp.abs(filt), band)
+            q = _tdiv_pos(jnp.abs(filt), band, rband)
             mn = jnp.where(filt < 0, -q * band - s, q * band)
             mx = mn + s
             mn = jnp.where(mn + predw < 0, -predw, mn)
@@ -341,42 +357,58 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             if c is None:
                 continue
             if c not in cache:
-                d = _tdiv(diffs[c], bleed)
+                d = _tdiv(diffs[c], bleed, rbleed)
                 twos = _tdiv_shift(d, 4)
                 d = d - twos * 4
                 threes = _tdiv_shift(d, 3)
                 d = d - threes * 2
-                fours = _tdiv(d * 2, jnp.int32(9))
+                fours = _tdiv(d * 2, jnp.int32(9), r9)
                 d = d - fours * 2
                 five = _tdiv_shift(d, 1)
                 d = d - five
                 cache[c] = (twos, threes, fours, five, d)
             twos_l[i], threes_l[i], fours_l[i], five_l[i], rem_l[i] = cache[c]
 
-        # row0 cols x+3..x+4: [rem, threes]
-        col16 = lax.broadcasted_iota(jnp.int32, (2 * STRIDE, l5), 0) >> 3
-        u0 = jnp.where(col16 == 0, compose(rem_l, 2 * STRIDE),
-                       compose(threes_l, 2 * STRIDE))
-        r0 = pl.multiple_of((x + 3) * STRIDE, 8)
-        err0_ref[pl.ds(r0, 2 * STRIDE), :] = err0_ref[pl.ds(r0, 2 * STRIDE), :] + u0
-        # row1 cols x..x+4: [twos, fours, five, fours, twos]
-        col40 = lax.broadcasted_iota(jnp.int32, (5 * STRIDE, l5), 0) >> 3
-        u1 = jnp.where((col40 == 0) | (col40 == 4), compose(twos_l, 5 * STRIDE),
-                       jnp.where(col40 == 2, compose(five_l, 5 * STRIDE),
-                                 compose(fours_l, 5 * STRIDE)))
-        r1 = pl.multiple_of(x * STRIDE, 8)
-        e0n_ref[pl.ds(r1, 5 * STRIDE), :] = e0n_ref[pl.ds(r1, 5 * STRIDE), :] + u1
-        # row2 cols x+1..x+3: [twos, threes, twos]
-        col24 = lax.broadcasted_iota(jnp.int32, (3 * STRIDE, l5), 0) >> 3
-        u2 = jnp.where(col24 == 1, compose(threes_l, 3 * STRIDE),
-                       compose(twos_l, 3 * STRIDE))
-        r2 = pl.multiple_of((x + 1) * STRIDE, 8)
-        e1n_ref[pl.ds(r2, 3 * STRIDE), :] = e1n_ref[pl.ds(r2, 3 * STRIDE), :] + u2
+        twos8 = compose(twos_l, STRIDE)
+        threes8 = compose(threes_l, STRIDE)
+        fours8 = compose(fours_l, STRIDE)
+        five8 = compose(five_l, STRIDE)
+        rem8 = compose(rem_l, STRIDE)
 
-        return tuple(backs), above_px
+        # slide the register error windows (module docstring): the
+        # current dither row's cols x+3/x+4 stay in registers (row0 is
+        # never written — only the ce fetch reads it); the next row's
+        # col x finalizes as e1-seed + pendings, the after-next row's
+        # col x+1 as a pure write (zero seed)
+        colx = pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE)
+        e0n_ref[colx, :] = e1_ref[colx, :] + (pn1 + twos8)
+        pn1, pn2, pn3, pn4 = pn2 + fours8, pn3 + five8, pn4 + fours8, twos8
+        colx1 = pl.ds(pl.multiple_of((x + 1) * STRIDE, 8), STRIDE)
+        e1n_ref[colx1, :] = pm2 + twos8
+        pm2, pm3 = pm3 + threes8, twos8
+        pr_a, pr_b = pr_b + rem8, threes8
+
+        return (tuple(backs), above_px, pr_a, pr_b,
+                pn1, pn2, pn3, pn4, pm2, pm3)
 
     left0 = tuple(jnp.zeros((1, l5), jnp.int32) for _ in range(bpp))
-    lax.fori_loop(0, w, body, (left0, jnp.zeros((STRIDE, l5), jnp.int32)))
+    z8 = jnp.zeros((STRIDE, l5), jnp.int32)
+    (_, _, pr_a, pr_b, pn1, pn2, pn3, pn4, pm2, pm3) = lax.fori_loop(
+        0, w, body, (left0, z8, z8, z8, z8, z8, z8, z8, z8, z8))
+
+    # flush the register windows: e0n pendings map to cols w..w+3, col
+    # w+4 is pure seed; e1n pendings to cols w+1/w+2, and its cols 0 /
+    # w+3 / w+4 are never written in-loop and must read zero
+    for i, reg in enumerate((pn1, pn2, pn3, pn4)):
+        cf = pl.ds((w + i) * STRIDE, STRIDE)
+        e0n_ref[cf, :] = e1_ref[cf, :] + reg
+    cf = pl.ds((w + 4) * STRIDE, STRIDE)
+    e0n_ref[cf, :] = e1_ref[cf, :]
+    e1n_ref[pl.ds((w + 1) * STRIDE, STRIDE), :] = pm2
+    e1n_ref[pl.ds((w + 2) * STRIDE, STRIDE), :] = pm3
+    e1n_ref[pl.ds(0, STRIDE), :] = z8
+    e1n_ref[pl.ds((w + 3) * STRIDE, 2 * STRIDE), :] = jnp.zeros(
+        (2 * STRIDE, l5), jnp.int32)
 
 
 @functools.partial(
@@ -408,15 +440,14 @@ def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # operand footprint (everything int32, 5B lanes): 3 pixel buffers,
-    # 5 dither buffers, 3 histogram tables — plus slack for temporaries
-    vmem_bytes = 4 * (3 * rows_px + 5 * rows_e + 3 * table) * l5
+    # 4 dither buffers, 3 histogram tables — plus slack for temporaries
+    vmem_bytes = 4 * (3 * rows_px + 4 * rows_e + 3 * table) * l5
     vmem_bytes = min(int(vmem_bytes * 1.5) + (2 << 20), 128 << 20)
     return pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[vmem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem],
         out_specs=(vmem, vmem, vmem, vmem),
-        scratch_shapes=[pltpu.VMEM((rows_e, l5), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(

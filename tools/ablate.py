@@ -58,6 +58,20 @@ VARIANTS = {
     # the dense path they currently take?
     "s75_dense": dict(ablate="", strength=75, wmax=0),
     "s75_c127": dict(ablate="", strength=75, wmax=127),
+    # round-5 verdict item 6: s=19 (the headline strength) sits in the
+    # <=31 class (40-row sweep); a <=23 class sweeps 32 rows
+    "w23": dict(ablate="", strength=19, wmax=23),
+    # round-5 verdict item 1: pin the skeleton's sub-terms — each variant
+    # removes ONE stage on top of the "both" skeleton; "shell" removes
+    # them all (the irreducible scan shell: block reads, qrow write,
+    # loop control)
+    "skel_nosierra": dict(ablate="both,nosierra", strength=None, wmax=None),
+    "skel_nosierramath": dict(
+        ablate="both,nosierramath", strength=None, wmax=None),
+    "skel_noderiv": dict(ablate="both,noderiv", strength=None, wmax=None),
+    "skel_nopred": dict(ablate="both,nopred", strength=None, wmax=None),
+    "skel_noband": dict(ablate="both,noband", strength=None, wmax=None),
+    "shell": dict(ablate="shell", strength=None, wmax=None),
 }
 
 
