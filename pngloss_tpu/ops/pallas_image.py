@@ -269,12 +269,22 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
             u_orig8 = osym8 - mn8
 
         # ---- per-channel: histogram-coupled selection + update ----
+        # In the rotated-window path the dense 256-row histogram update
+        # is DEFERRED to the end of the pixel: within a pixel the stale
+        # table plus the <= bpp-1 pending one-hots is exact, and a
+        # pending applied inside the rotated window costs a compare over
+        # ~wmax+9 rows instead of 256 — so bpp dense update passes per
+        # pixel become one (batched: Σ one-hots in a single pass).  The
+        # dense selection path keeps immediate updates: there the
+        # in-window application would itself be a 256-row pass, saving
+        # nothing.
         back8 = jnp.zeros((STRIDE, l5), jnp.int32)
+        hist = hist_s[:, :]           # one table read per pixel
+        pend_syms = []                # this pixel's already-chosen symbols
         for c in range(bpp):
             start = start8[c:c + 1, :]
             width = width8[c:c + 1, :]
             u_orig = u_orig8[c:c + 1, :]
-            hist = hist_s[:, :]
             if _ABLATE_NOSEL:
                 sel = jnp.full_like(u_orig, -1)  # ablation: skip selection
             elif wmax:
@@ -289,6 +299,14 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                     rot = _rotated_window(hist, start, wmax)
                 iota_w = lax.broadcasted_iota(
                     jnp.int32, (rot.shape[0], 1), 0)
+                for ps in pend_syms:
+                    # pending one-hot, applied in the rotated domain: row
+                    # u maps to table index (start+u)&0xFF, so symbol ps
+                    # sits at u = (ps-start)&0xFF; if that exceeds the
+                    # swept rows it also exceeds width, where the mask
+                    # below discards the row anyway
+                    rot = rot + jnp.where(
+                        iota_w == ((ps - start) & 0xFF), 256 * cmask, 0)
                 masked = jnp.where(iota_w <= width, rot, -1)
                 kmax = jnp.max(masked, axis=0, keepdims=True)
                 u_adj = jnp.where(iota_w == u_orig, -1, iota_w)
@@ -312,8 +330,17 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                     transp, (0 - pred8[c:c + 1, :]) & 0xFF, sym_byte)
 
             if not _ABLATE_NOUPDATE:
-                hist_s[:, :] = hist + (iota_t == sym_byte) * (256 * cmask)
+                if wmax:
+                    pend_syms.append(sym_byte)
+                else:
+                    hist = hist + (iota_t == sym_byte) * (256 * cmask)
+                    hist_s[:, :] = hist
             back8 = jnp.where(ri8 == c, back_c, back8)
+        if pend_syms:
+            inc = (iota_t == pend_syms[0]).astype(jnp.int32)
+            for ps in pend_syms[1:]:
+                inc = inc + (iota_t == ps)
+            hist_s[:, :] = hist + inc * (256 * cmask)
 
         qrow_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :] = back8
 

@@ -236,6 +236,9 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
 
         backs = []
         heres = []
+        hist = hist_out_ref[:, :]     # one table read per pixel
+        pend_syms = []                # deferred one-hots (wmax path)
+        upd = 256 if packed else 1
         for c in range(bpp):
             orig_c = orig_px[c:c + 1, :]                       # (1, L)
             above_c = above_px[c:c + 1, :]
@@ -283,14 +286,19 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             # masked lexicographic selection (optimize_state.c:212-248)
             # over the MODULAR window u = (t - start) mod 256; with wmax
             # set, the barrel rotation shrinks the swept rows to ~wmax+9
+            # and the dense histogram update defers to the pixel end (the
+            # stale table + pending in-window one-hots is exact; see
+            # pallas_image.py for the rationale)
             start = mn & 0xFF
-            hist = hist_out_ref[:, :]
             width = mx - mn                        # <= 255 after clamping
             u_orig = osym - mn                     # in [0, width] iff orig
             if wmax:
                 uu = lax.broadcasted_iota(
                     jnp.int32, (_rot_rows(wmax), 1), 0)
                 hist_w = _rotated_window(hist, start, wmax)
+                for ps in pend_syms:
+                    hist_w = hist_w + jnp.where(
+                        uu == ((ps - start) & 0xFF), upd * cmask, 0)
             else:
                 uu = (iota_t - start) & 0xFF
                 hist_w = hist
@@ -332,10 +340,19 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 sym_byte = jnp.where(transp, (0 - pred) & 0xFF, sym_byte)
 
             # modular table: exactly one row matches (table == 256)
-            inc = (iota_t == sym_byte) * cmask
-            hist_out_ref[:, :] = hist + inc * (256 if packed else 1)
+            if wmax:
+                pend_syms.append(sym_byte)
+            else:
+                hist = hist + ((iota_t == sym_byte) * cmask) * upd
+                hist_out_ref[:, :] = hist
             backs.append(back_c)
             heres.append(here_c)
+
+        if pend_syms:
+            inc = (iota_t == pend_syms[0]).astype(jnp.int32)
+            for ps in pend_syms[1:]:
+                inc = inc + (iota_t == ps)
+            hist_out_ref[:, :] = hist + (inc * cmask) * upd
 
         # one aligned block store per pixel: channel c at row c, rest zero
         ri8 = lax.broadcasted_iota(jnp.int32, (STRIDE, l5), 0)
