@@ -77,13 +77,24 @@ def _cluster_slope(slopes: list[float]) -> float:
     Non-positive slopes (a noisy t(1) exceeding t(4) — the tunnel's 3-4x
     run-to-run noise makes this reachable) are discarded first; if every
     trial was garbage, fall back to the largest observation so the caller
-    reports a pessimistic-but-finite rate instead of crashing."""
-    pos = [s for s in slopes if s > 0]
+    reports a pessimistic-but-finite rate instead of crashing.
+
+    The cluster must hold a MAJORITY of the surviving trials: a single
+    lucky trial otherwise forms a singleton cluster and gets reported as
+    the rate (observed in the round-5 pre-attack sweep: skel_noband read
+    0.047 from one trial against an honest 4-trial cluster at 0.069, and
+    shell 0.034 against 0.0494 — both contradicted the additivity of the
+    other sub-term measurements). When the minimum's cluster is a
+    minority, the minimum is the outlier: drop it and re-anchor."""
+    pos = sorted(s for s in slopes if s > 0)
     if not pos:
         return max(max(slopes), 1e-9)
-    lo = min(pos)
-    cluster = sorted(s for s in pos if s <= lo * CLUSTER_FACTOR)
-    return cluster[len(cluster) // 2]
+    while len(pos) > 1:
+        cluster = [s for s in pos if s <= pos[0] * CLUSTER_FACTOR]
+        if 2 * len(cluster) >= len(pos):
+            return cluster[len(cluster) // 2]
+        pos = pos[1:]
+    return pos[0]
 
 
 def _measure_slopes(run_k, trials: int, k: int = 4) -> list[float]:
