@@ -152,7 +152,7 @@ def _rank_tables(ofreq):
 
 def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
                  hist, ofreq5, *, w, bpp, b, table, interpret, packed,
-                 w_real=None, wmax=0):
+                 w_real=None, wmax=0, fast_div=False):
     """One strength attempt for the whole batch. Returns per-filter results
     plus (5, B) cost and validity. w_real: optional (B,) real widths of
     padded rows (ragged batching)."""
@@ -176,7 +176,7 @@ def _row_attempt(s_vec, bleed, adaptive, orow_t, oprev_t, qprev_t, e0, e1,
         _tile5(_to_stride8(qprev_t, w, bpp)),
         _tile5(e0), _tile5(e1), hist_in5, ofreq5, wr5,
         w=w, bpp=bpp, b=b, table=table, interpret=interpret,
-        packed=packed, wmax=wmax)
+        packed=packed, wmax=wmax, fast_div=fast_div)
     qrow5 = _from_stride8(qrow8, w, bpp)
     if packed:
         counts = (hist5[:256] - hist_in5[:256]) >> 8
@@ -210,7 +210,8 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                             interpret: bool = False,
                             return_carry: bool = False,
                             ofreq_rows=None, ofreq=None,
-                            w_real=None, h_real=None, wmax: int = 0):
+                            w_real=None, h_real=None, wmax: int = 0,
+                            fast_div: bool = False):
     """Optimize a batch in transposed layout.
 
     rows_t: (H, W*bpp, B) int32. Returns (qrows_t (H, W*bpp, B) int32,
@@ -270,7 +271,8 @@ def optimize_batch_pallas_t(rows_t, strength, bleed, *, bpp: int,
                 s_vec[None, :], bleed, adaptive, orow_t, oprev_t, qprev_t,
                 e0, e1, hist, ofreq5,
                 w=w, bpp=bpp, b=b, table=table, interpret=interpret,
-                packed=packed, w_real=w_real, wmax=wmax)
+                packed=packed, w_real=w_real, wmax=wmax,
+                fast_div=fast_div)
             found_real = jnp.any(ok, axis=0)                   # (B,)
             # where C would abort ("no good row" at strength 0,
             # pngloss_image.c:268), accept the min-cost row
@@ -341,14 +343,16 @@ def _image_kernel_eligible(h: int, w: int, bpp: int,
     return max_batch_image(w, bpp, band_pad, h=h) >= 1
 
 
-# (15, 31, 63): strengths <= 15 sweep a 24-row rotated window instead of
-# 40 (round-4 verdict item 3a: measured 0.1482 vs 0.1546 s/chunk at s=15).
-# A <=127 class for strengths 64-99 was measured and REJECTED on chip:
-# at s=75 the dense 256-row path wins (0.1933 vs 0.1975 s/chunk,
-# docs/ABLATE_r4.json s75_dense/s75_c127) — a 136-row rotation's dense
-# leading stages plus a ~136-row sweep cost more than the 256-row dense
-# sweep's simplicity.  docs/ROOFLINE.md records the analysis.
-WMAX_CLASSES = (15, 31, 63)
+# (15, 23, 31, 63): strengths <= 15 sweep a 24-row rotated window instead
+# of 40 (round-4: 0.1482 vs 0.1546 s/chunk at s=15); the <=23 class puts
+# the headline s=19 on a 32-row window (round-5: 0.1250 vs 0.1278 in the
+# <=31 class, docs/ABLATE_r5_pre.json w23).  A <=127 class for strengths
+# 64-99 was measured and REJECTED on chip: at s=75 the dense 256-row path
+# wins (0.1933 vs 0.1975 s/chunk, docs/ABLATE_r4.json s75_dense/s75_c127)
+# — a 136-row rotation's dense leading stages plus a ~136-row sweep cost
+# more than the 256-row dense sweep's simplicity.  docs/ROOFLINE.md
+# records the analyses.
+WMAX_CLASSES = (15, 23, 31, 63)
 
 
 def wmax_class_for(s_max: int) -> int:
@@ -363,10 +367,11 @@ def wmax_class_for(s_max: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bpp", "band_pad", "interpret", "wmax", "adaptive"))
+    "bpp", "band_pad", "interpret", "wmax", "adaptive", "fast_div"))
 def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
                                      h_real=None, *, bpp, band_pad,
-                                     interpret, wmax=0, adaptive=False):
+                                     interpret, wmax=0, adaptive=False,
+                                     fast_div=False):
     """Row 0 via the per-row path (adaptive check + fallback), rows 1..H-1
     in ONE whole-image kernel launch (pallas_image.py).
 
@@ -403,7 +408,7 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
         rows_t[:1], strength, bleed, bpp=bpp, band_pad=band_pad,
         use_row_filters=not adaptive, interpret=interpret,
         return_carry=True, ofreq=ofreq, w_real=w_real, h_real=h_real,
-        wmax=wmax)
+        wmax=wmax, fast_div=fast_div)
     qprev_t, oprev_t, e0, e1, hist = carry
 
     s_vec = jnp.broadcast_to(strength, (1, b)).astype(jnp.int32)
@@ -419,7 +424,7 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
         _tile5(_to_stride8(oprev_t, w, bpp)),
         _tile5(e0), _tile5(e1), _tile5(hist),
         w=w, h=h, bpp=bpp, b=b, table=table, interpret=interpret,
-        wmax=wmax, adaptive=adaptive)
+        wmax=wmax, adaptive=adaptive, fast_div=fast_div)
 
     q_rest = qrows.reshape(h - 1, w, STRIDE, b)[:, :, :bpp]
     q_rest = q_rest.reshape(h - 1, wb, b)
@@ -434,16 +439,17 @@ def _optimize_batch_pallas_image_jit(rows, strength, bleed, w_real=None,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bpp", "band_pad", "use_row_filters", "interpret", "wmax"))
+    "bpp", "band_pad", "use_row_filters", "interpret", "wmax", "fast_div"))
 def _optimize_batch_pallas_jit(rows, strength, bleed, w_real=None,
                                h_real=None, *, bpp, band_pad,
-                               use_row_filters, interpret, wmax=0):
+                               use_row_filters, interpret, wmax=0,
+                               fast_div=False):
     b, h, wb = rows.shape
     rows_t = jnp.transpose(rows.astype(jnp.int32), (1, 2, 0))   # (H, Wb, B)
     qrows_t, filters = optimize_batch_pallas_t(
         rows_t, strength, bleed, bpp=bpp, band_pad=band_pad,
         use_row_filters=use_row_filters, interpret=interpret,
-        w_real=w_real, h_real=h_real, wmax=wmax)
+        w_real=w_real, h_real=h_real, wmax=wmax, fast_div=fast_div)
     q = jnp.transpose(qrows_t, (2, 0, 1)).astype(jnp.uint8)     # (B, H, Wb)
     return q, jnp.transpose(filters, (1, 0))
 
@@ -516,6 +522,18 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
                 rows, strength, bleed, bpp=bpp,
                 use_row_filters=use_row_filters,
                 band_pad=band_pad, w_real=w_real, h_real=h_real)
+    # one-correction reciprocal division (_tdiv_pos corrections=1): exact
+    # while operands stay < 2^16.  bleed >= 2 bounds every division
+    # operand by 255 + 766 (the Sierra chain has fixed point 255), so it
+    # always qualifies; at bleed == 1 the dither error can grow ~255 per
+    # hop, so 250 hops keeps 255*250 + 766 < 2^16.  A traced bleed could
+    # be 1 at runtime — then only the hop bound may be assumed.
+    # PNGLOSS_FAST_DIV=0 forces the two-correction form (safety fallback
+    # + the ablation comparator, docs/ABLATE_r5.json slowdiv).
+    import os
+    fast_div = (hops <= 250 or (not isinstance(bleed, jax.core.Tracer)
+                                and int(bleed) >= 2)) \
+        and os.environ.get("PNGLOSS_FAST_DIV", "1") != "0"
     # strength may be a scalar or per-image array (the kernel's band math is
     # per-lane, so mixed strengths batch together — the reference suite's
     # 1,089 sequential invocations become a handful of dispatches)
@@ -563,18 +581,18 @@ def optimize_batch_pallas(rows, strength, bleed: int = 2, *, bpp: int,
             return _optimize_batch_pallas_image_jit(
                 part, s_part, jnp.int32(bleed), wr, hr,
                 bpp=bpp, band_pad=band_pad, interpret=interpret,
-                wmax=wmax)
+                wmax=wmax, fast_div=fast_div)
         return _optimize_batch_pallas_jit(
             part, s_part, jnp.int32(bleed), wr, hr,
             bpp=bpp, band_pad=band_pad,
             use_row_filters=use_row_filters, interpret=interpret,
-            wmax=wmax)
+            wmax=wmax, fast_div=fast_div)
 
     def _run_embed(part, s_part, wr=None, hr=None):
         q, f, ok = _optimize_batch_pallas_image_jit(
             part, s_part, jnp.int32(bleed), wr, hr,
             bpp=bpp, band_pad=band_pad, interpret=interpret,
-            wmax=wmax, adaptive=True)
+            wmax=wmax, adaptive=True, fast_div=fast_div)
         ok = np.asarray(ok)
         if ok.all():
             return q, f

@@ -44,9 +44,8 @@ from pngloss_tpu.ops.pallas_row import (
     NUM_FILTERS,
     STRIDE,
     _rotated_window,
-    _tdiv,
+    _sierra_splits,
     _tdiv_pos,
-    _tdiv_shift,
 )
 
 
@@ -111,7 +110,7 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                   err0_s, e0n_s, e1n_s, hist_s, qprev_s, oprev_s,
                   orig_s, qrow_s, dma_sem,
                   *, w: int, bpp: int, b: int, table: int, wmax: int = 0,
-                  adaptive: bool = False):
+                  adaptive: bool = False, fast_div: bool = False):
     """Grid over y = 1..H-1 (program_id 0 = y-1). Shapes (L = 5B lanes):
       s_ref       (1, L)        per-lane strength
       bleed_ref   (1, 1)        SMEM
@@ -135,6 +134,9 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
                   so the narrow blocks cannot double as scratch)
     """
     l5 = s_ref.shape[1]
+    # one correction step in the reciprocal-multiply divisions when the
+    # caller proved the operand domain < 2^16 (pallas_row._tdiv_pos)
+    ndiv = 1 if fast_div else 2
     bleed = bleed_ref[0, 0]
     s = s_ref[:, :]
     band = s + 1
@@ -252,7 +254,7 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
             width8 = jnp.zeros_like(mn8)
             u_orig8 = jnp.zeros_like(mn8)
         else:
-            q8 = _tdiv_pos(jnp.abs(filt8), band, rband)
+            q8 = _tdiv_pos(jnp.abs(filt8), band, rband, ndiv)
             mn8 = jnp.where(filt8 < 0, -q8 * band - s, q8 * band)
             mx8 = mn8 + s
             mn8 = jnp.where(mn8 + predw8 < 0, -predw8, mn8)
@@ -396,15 +398,8 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
             # register window + error-buffer traffic
             twos8 = threes8 = fours8 = five8 = rem8 = dl8
         else:
-            d = _tdiv(dl8, bleed, rbleed)
-            twos8 = _tdiv_shift(d, 4)
-            d = d - twos8 * 4
-            threes8 = _tdiv_shift(d, 3)
-            d = d - threes8 * 2
-            fours8 = _tdiv(d * 2, jnp.int32(9), r9)
-            d = d - fours8 * 2
-            five8 = _tdiv_shift(d, 1)
-            rem8 = d - five8
+            twos8, threes8, fours8, five8, rem8 = _sierra_splits(
+                dl8, bleed, rbleed, r9, ndiv)
 
         # slide the register error windows. err0 (current row, cols x+3 /
         # x+4) is never written to memory at all: its only reader is the
@@ -581,11 +576,12 @@ def max_batch_image(w: int, bpp: int, band_pad: int = 0,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w", "h", "bpp", "b", "table", "interpret", "wmax", "adaptive"))
+    "w", "h", "bpp", "b", "table", "interpret", "wmax", "adaptive",
+    "fast_div"))
 def image_rows_pallas(s5, bleed, wr5, rank5, orig_rows, qprev0, oprev0, e00,
                       e10, hist0, *, w: int, h: int, bpp: int, b: int,
                       table: int, interpret: bool = False, wmax: int = 0,
-                      adaptive: bool = False):
+                      adaptive: bool = False, fast_div: bool = False):
     """Run rows 1..H-1 in one kernel. orig_rows: (H-1, 8W, B) un-tiled
     original rows 1..H-1 (the kernel replicates to L lanes itself); the
     row-0 winner state seeds the scratch. wr5: (1, L) per-lane real widths
@@ -610,7 +606,7 @@ def image_rows_pallas(s5, bleed, wr5, rank5, orig_rows, qprev0, oprev0, e00,
     )
     kernel = functools.partial(
         _image_kernel, w=w, bpp=bpp, b=b, table=table, wmax=wmax,
-        adaptive=adaptive)
+        adaptive=adaptive, fast_div=fast_div)
     vmem_bytes = vmem_limit_bytes()
     return pl.pallas_call(
         kernel,

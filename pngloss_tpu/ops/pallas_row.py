@@ -49,46 +49,54 @@ NUM_FILTERS = 5
 STRIDE = 8  # sublane stride per pixel/column (alignment unit)
 
 
-def _tdiv_pos(u, div, rdiv=None):
+def _tdiv_pos(u, div, rdiv=None, corrections: int = 2):
     """floor(u / div) for int32 u >= 0 and runtime int32 div > 0, via f32
-    reciprocal multiply + two integer corrections.  rdiv, when given, is
+    reciprocal multiply + integer corrections.  rdiv, when given, is
     the precomputed f32 ``1.0 / div`` (loop-invariant hoisting: Mosaic
     does not reliably hoist the reciprocal out of a fori_loop body); it
     must be exactly the value this function would compute, so exactness
     analysis below is unchanged.
 
-    Exactness domain: u < 2^20, with margin. The raw estimate is
-    q0 = trunc(f32(u) * f32(1/div)); with IEEE round-to-nearest the
-    reciprocal and the product carry <= 2^-24 relative error each, so the
-    quotient error is <= (u/div)*2^-23 + 1 units, and each correction
-    step repairs one unit — two corrections are exact while
-    (u/div)*2^-23 < 2, i.e. u < 2^24 under IEEE semantics
+    Exactness domain (corrections=2): u < 2^20, with margin. The raw
+    estimate is q0 = trunc(f32(u) * f32(1/div)); with IEEE
+    round-to-nearest the reciprocal and the product carry <= 2^-24
+    relative error each, so the quotient error is <= (u/div)*2^-23 + 1
+    units, and each correction step repairs one unit — two corrections
+    are exact while (u/div)*2^-23 < 2, i.e. u < 2^24 under IEEE semantics
     (tests/test_pallas_kernel.py sweeps the boundary). The TPU VPU's f32
     reciprocal is an approximation instruction not guaranteed correctly
     rounded, so only u < 2^20 is claimed (16x margin even if the hardware
     reciprocal loses 4 bits vs IEEE; on-chip byte-parity suites pin it).
 
-    Callers keep operands inside the domain: every operand is bounded by
-    |dither error| + 766, and the dither error is bounded by 255 for any
-    bleed >= 2 (each truncating Sierra split conserves magnitude and the
-    per-cell in-edge weights sum to 1, so E' <= (E + 255)/bleed has fixed
-    point 255). At bleed == 1 the error can grow by up to ~255 per
-    dependency hop (one row down, or 3 columns right within a row), so
-    batches with enough hops to threaten 2^20 are routed to the pure-XLA
-    path (native int32 division, exact) by optimize_batch_pallas."""
+    corrections=1 (the in-kernel fast path): exact while the pre-trunc
+    absolute error (u/div)*eps_total < 1 — under the same conservative
+    4-bit-lossy-reciprocal assumption (eps ~ 2^-20), u < 2^16 keeps a
+    16x margin (the IEEE boundary is u < 2^23, also swept by the test).
+    Callers may use it only when operands are provably < 2^16.
+
+    Callers keep operands inside the domains: every operand is bounded
+    by |dither error| + 766, and the dither error is bounded by 255 for
+    any bleed >= 2 (each truncating Sierra split conserves magnitude and
+    the per-cell in-edge weights sum to 1, so E' <= (E + 255)/bleed has
+    fixed point 255) — so bleed >= 2 always qualifies for one
+    correction. At bleed == 1 the error can grow by up to ~255 per
+    dependency hop (one row down, or 3 columns right within a row):
+    optimize_batch_pallas keeps two corrections once an image has more
+    than 250 hops (255*250 + 766 < 2^16) and routes batches with enough
+    hops to threaten 2^20 to the pure-XLA path (native int32 division,
+    exact for all int32)."""
     if rdiv is None:
         rdiv = 1.0 / div.astype(jnp.float32)
     q = (u.astype(jnp.float32) * rdiv).astype(jnp.int32)
-    r = u - q * div
-    q = q + (r >= div).astype(jnp.int32) - (r < 0).astype(jnp.int32)
-    r = u - q * div
-    q = q + (r >= div).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    for _ in range(corrections):
+        r = u - q * div
+        q = q + (r >= div).astype(jnp.int32) - (r < 0).astype(jnp.int32)
     return q
 
 
-def _tdiv(a, div, rdiv=None):
+def _tdiv(a, div, rdiv=None, corrections: int = 2):
     """C truncating division for signed a, positive runtime div."""
-    q = _tdiv_pos(jnp.abs(a), div, rdiv)
+    q = _tdiv_pos(jnp.abs(a), div, rdiv, corrections)
     return jnp.where(a < 0, -q, q)
 
 
@@ -96,6 +104,34 @@ def _tdiv_shift(a, k: int):
     """C truncating division by the constant 2**k."""
     q = jnp.abs(a) >> k
     return jnp.where(a < 0, -q, q)
+
+
+def _sierra_splits(dl, bleed, rbleed, r9, corrections: int = 2):
+    """The Sierra-lite split chain (optimize_state.c:390-490): returns
+    (twos, threes, fours, five, rem) — C-truncating-division exact.
+
+    Computed on MAGNITUDES with one sign restore per output: every stage
+    is a truncating division or a remainder subtraction with positive
+    coefficients, both of which commute with negation (each unsigned
+    remainder stays >= 0), so the unsigned chain's values equal the
+    magnitudes of the signed chain's and every output carries dl's sign.
+    This replaces the per-stage abs/sign-select pairs inside _tdiv /
+    _tdiv_shift (2 + 3 of them) with one abs and five final selects, and
+    feeds the /9 division a nonnegative operand directly.  The round-5
+    ablation pinned this chain (skel_nosierramath) at ~0.018 s/chunk —
+    the second-largest kernel term — which is why it gets hand-tuning."""
+    neg = dl < 0
+    du = _tdiv_pos(jnp.abs(dl), bleed, rbleed, corrections)
+    twos_u = du >> 4
+    du = du - (twos_u << 2)
+    threes_u = du >> 3
+    du = du - (threes_u << 1)
+    fours_u = _tdiv_pos(du << 1, jnp.int32(9), r9, corrections)
+    du = du - (fours_u << 1)
+    five_u = du >> 1
+    rem_u = du - five_u
+    return tuple(jnp.where(neg, -v, v)
+                 for v in (twos_u, threes_u, fours_u, five_u, rem_u))
 
 
 def _rot_rows(wmax: int) -> int:
@@ -158,7 +194,8 @@ def _rotated_window(hist, start, wmax: int, rows: int = 256):
 def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
                 hist_ref, ofreq_ref, qrow_ref, hist_out_ref, e0n_ref, e1n_ref,
                 *, w: int, bpp: int, b: int, table: int,
-                packed: bool = False, wmax: int = 0):
+                packed: bool = False, wmax: int = 0,
+                fast_div: bool = False):
     """See module docstring. Shapes (L = 5B lanes, filter-major; S = 8):
       s_ref               : (1, L)        int32  per-lane strength
       bleed_ref           : (1, 1)        int32  (SMEM)
@@ -185,6 +222,9 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
     """
     del b  # lane blocking is encoded in s_ref/ofreq_ref contents
     l5 = s_ref.shape[1]
+    # one correction step in the reciprocal-multiply divisions when the
+    # caller proved the operand domain < 2^16 (see _tdiv_pos)
+    ndiv = 1 if fast_div else 2
     bleed = bleed_ref[0, 0]
     s = s_ref[:, :]                   # (1, L)
     band = s + 1
@@ -272,7 +312,7 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             osym = orig_c - predw
             filt = here_c - predw
 
-            q = _tdiv_pos(jnp.abs(filt), band, rband)
+            q = _tdiv_pos(jnp.abs(filt), band, rband, ndiv)
             mn = jnp.where(filt < 0, -q * band - s, q * band)
             mx = mn + s
             mn = jnp.where(mn + predw < 0, -predw, mn)
@@ -374,16 +414,7 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
             if c is None:
                 continue
             if c not in cache:
-                d = _tdiv(diffs[c], bleed, rbleed)
-                twos = _tdiv_shift(d, 4)
-                d = d - twos * 4
-                threes = _tdiv_shift(d, 3)
-                d = d - threes * 2
-                fours = _tdiv(d * 2, jnp.int32(9), r9)
-                d = d - fours * 2
-                five = _tdiv_shift(d, 1)
-                d = d - five
-                cache[c] = (twos, threes, fours, five, d)
+                cache[c] = _sierra_splits(diffs[c], bleed, rbleed, r9, ndiv)
             twos_l[i], threes_l[i], fours_l[i], five_l[i], rem_l[i] = cache[c]
 
         twos8 = compose(twos_l, STRIDE)
@@ -430,11 +461,12 @@ def _row_kernel(s_ref, bleed_ref, wr_ref, orig_ref, qprev_ref, e0_ref, e1_ref,
 
 @functools.partial(
     jax.jit, static_argnames=(
-        "w", "bpp", "b", "table", "interpret", "packed", "wmax"))
+        "w", "bpp", "b", "table", "interpret", "packed", "wmax",
+        "fast_div"))
 def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5,
                        wr5=None, *, w: int, bpp: int, b: int, table: int,
                        interpret: bool = False, packed: bool = False,
-                       wmax: int = 0):
+                       wmax: int = 0, fast_div: bool = False):
     """Quantize one row for B images x 5 filters. Array inputs are pre-tiled
     to L = 5B filter-major lanes and pixel/column-indexed arrays use the
     8-sublane stride layout. In packed mode hist5 carries freq*256+rank
@@ -453,7 +485,7 @@ def row_attempt_pallas(s5, bleed, orig8, qprev8, e08, e18, hist5, ofreq5,
         jax.ShapeDtypeStruct((rows_e, l5), jnp.int32),
     )
     kernel = functools.partial(_row_kernel, w=w, bpp=bpp, b=b, table=table,
-                               packed=packed, wmax=wmax)
+                               packed=packed, wmax=wmax, fast_div=fast_div)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # operand footprint (everything int32, 5B lanes): 3 pixel buffers,

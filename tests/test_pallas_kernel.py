@@ -39,7 +39,8 @@ def test_forced_wmax_classes():
     class-eligible strength."""
     rng = np.random.default_rng(47)
     rows = rng.integers(0, 256, size=(2, 6, 7 * 3), dtype=np.uint8)
-    for wmax, strengths in ((15, (0, 9, 15)), (31, (15, 31)),
+    for wmax, strengths in ((15, (0, 9, 15)), (23, (16, 19, 23)),
+                            (31, (15, 31)),
                             (63, (40, 63)), (127, (75, 100, 127)),
                             (0, (15, 75))):
         for strength in strengths:
@@ -131,6 +132,30 @@ def test_tdiv_pos_exactness_boundary():
         # worst cases: exact multiples and one-below (quotient boundaries)
         us = np.concatenate([qs * div, np.maximum(qs * div - 1, 0)])
         us = np.unique(us[us < (1 << 24)]).astype(np.int32)
+        got = np.asarray(f(jnp.asarray(us), jnp.int32(div)))
+        np.testing.assert_array_equal(got, us // div, err_msg=f"div={div}")
+
+
+def test_tdiv_pos_one_correction_boundary():
+    """corrections=1 (the fast_div kernel path): under IEEE f32 a single
+    correction step is exact through u < 2^23 — the kernels only claim
+    u < 2^16 (128x margin for the TPU's approximate reciprocal), with the
+    operand domain proven by the caller (optimize_batch_pallas: bleed >= 2,
+    or <= 250 dependency hops at bleed == 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pngloss_tpu.ops.pallas_row import _tdiv_pos
+
+    f = jax.jit(lambda u, d: _tdiv_pos(u, d, corrections=1))
+    rng = np.random.default_rng(1)
+    for div in (1, 2, 3, 5, 7, 9, 16, 127, 255, 4097, 32767):
+        qmax = ((1 << 23) - 1) // div
+        qs = np.unique(np.concatenate([
+            rng.integers(0, qmax + 1, 512),
+            np.array([0, 1, 2, qmax - 1, qmax])])).astype(np.int64)
+        us = np.concatenate([qs * div, np.maximum(qs * div - 1, 0)])
+        us = np.unique(us[us < (1 << 23)]).astype(np.int32)
         got = np.asarray(f(jnp.asarray(us), jnp.int32(div)))
         np.testing.assert_array_equal(got, us // div, err_msg=f"div={div}")
 

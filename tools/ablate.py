@@ -59,8 +59,16 @@ VARIANTS = {
     "s75_dense": dict(ablate="", strength=75, wmax=0),
     "s75_c127": dict(ablate="", strength=75, wmax=127),
     # round-5 verdict item 6: s=19 (the headline strength) sits in the
-    # <=31 class (40-row sweep); a <=23 class sweeps 32 rows
+    # <=31 class (40-row sweep); a <=23 class sweeps 32 rows.  Measured
+    # 0.1250 vs 0.1278 → adopted into WMAX_CLASSES, so "w23" now equals
+    # "full" at the default strength; "w31" re-measures the retired class
     "w23": dict(ablate="", strength=19, wmax=23),
+    "w31": dict(ablate="", strength=19, wmax=31),
+    # round-5: the two-correction reciprocal division (pre-fast_div form;
+    # production proves operands < 2^16 and drops one correction round
+    # per division — see pallas_row._tdiv_pos)
+    "slowdiv": dict(ablate="", strength=None, wmax=None,
+                    env={"PNGLOSS_FAST_DIV": "0"}),
     # round-5 verdict item 1: pin the skeleton's sub-terms — each variant
     # removes ONE stage on top of the "both" skeleton; "shell" removes
     # them all (the irreducible scan shell: block reads, qrow write,
@@ -139,6 +147,7 @@ def main() -> int:
             env["PNGLOSS_ABLATE"] = spec["ablate"]
         else:
             env.pop("PNGLOSS_ABLATE", None)
+        env.update(spec.get("env", {}))
         print(f"# measuring {name} ...", file=sys.stderr)
         # one retry per variant: a killed predecessor can wedge the chip
         # for ~60 s (working notes), and losing the whole run to one

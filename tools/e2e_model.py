@@ -40,6 +40,11 @@ sys.path.insert(0, REPO)
 
 CALIB_PATH = os.path.expanduser("~/.cache/pngloss_tpu/bench_calib.json")
 BENCH_R03_DEVICE_MP_S = 42.17  # committed fallback (BENCH_r03.json)
+ABLATE_ARTIFACT = os.path.join(REPO, "docs", "ABLATE_r5.json")
+# ablate.py variants that measure PRODUCTION kernels (ablation variants
+# like nosel/noupdate also carry a wmax but are intentionally broken)
+_PRODUCTION_VARIANTS = {"full", "dense", "w15_new", "w15_old", "w23",
+                        "w48", "s75_dense"}
 
 
 def idle_guard() -> None:
@@ -82,6 +87,35 @@ def device_rate_from_calib(strength: int) -> tuple[float, str]:
     except Exception:
         pass
     return BENCH_R03_DEVICE_MP_S, "BENCH_r03.json committed value"
+
+
+def suite_weighted_device_rate(headline_rate: float) -> tuple[float, str]:
+    """Device MP/s averaged over the 1,089-job suite's strength mix
+    (strengths 1..99, uniform): each strength runs in its rotation class
+    (or the dense path), whose on-chip rates the committed ablation
+    artifact carries.  A third of the jobs run the dense >63 path, so
+    the fleet-average rate sits below the s=19 headline (round-4 verdict
+    item 5).  Falls back to the headline rate for classes the artifact
+    does not cover."""
+    from pngloss_tpu.ops.optimize_pallas import wmax_class_for
+
+    rates: dict[int, float] = {}
+    source = "headline rate only (no ablation artifact)"
+    try:
+        with open(ABLATE_ARTIFACT) as f:
+            for rec in json.load(f):
+                if rec.get("variant") in _PRODUCTION_VARIANTS:
+                    # latest-listed wins; entries are per (wmax, strength)
+                    rates.setdefault(rec["wmax"], rec["mp_per_s"])
+        if rates:
+            source = f"suite-weighted over classes {sorted(rates)} " \
+                     f"({os.path.basename(ABLATE_ARTIFACT)})"
+    except (OSError, ValueError, KeyError):
+        pass
+    inv_sum = 0.0
+    for s in range(1, 100):
+        inv_sum += 1.0 / rates.get(wmax_class_for(s), headline_rate)
+    return 99.0 / inv_sum, source
 
 
 def main() -> int:
@@ -138,10 +172,13 @@ def main() -> int:
     pool_efficiency = pool_mp_s / (encode_mp_s * min(args.workers, cores_here))
 
     device_mp_s, device_src = device_rate_from_calib(args.strength)
+    weighted_mp_s, weighted_src = suite_weighted_device_rate(device_mp_s)
 
     host_core_mp_s = 1.0 / (1.0 / decode_mp_s + 1.0 / encode_mp_s)
     host_mp_s = args.cores * host_core_mp_s
-    device_total = args.chips * device_mp_s
+    # the projection uses the suite-weighted rate: production runs the
+    # full strength mix, not just the s=19 headline class
+    device_total = args.chips * weighted_mp_s
     projected = min(host_mp_s, device_total)
 
     record = {
@@ -154,6 +191,8 @@ def main() -> int:
         "host_combined_mp_s_per_core": round(host_core_mp_s, 3),
         "device_mp_s_per_chip": round(device_mp_s, 2),
         "device_rate_source": device_src,
+        "device_mp_s_per_chip_suite_weighted": round(weighted_mp_s, 2),
+        "suite_weighting_source": weighted_src,
         "pool_demo": {"workers": args.workers, "jobs": n_jobs,
                       "aggregate_mp_s": round(pool_mp_s, 3),
                       "efficiency_vs_core_limit": round(pool_efficiency, 3),
