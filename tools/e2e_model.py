@@ -40,11 +40,12 @@ sys.path.insert(0, REPO)
 
 CALIB_PATH = os.path.expanduser("~/.cache/pngloss_tpu/bench_calib.json")
 BENCH_R03_DEVICE_MP_S = 42.17  # committed fallback (BENCH_r03.json)
-ABLATE_ARTIFACT = os.path.join(REPO, "docs", "ABLATE_r5.json")
+ABLATE_ARTIFACTS = [os.path.join(REPO, "docs", "ABLATE_r5.json"),
+                    os.path.join(REPO, "docs", "ABLATE_r5_pre.json")]
 # ablate.py variants that measure PRODUCTION kernels (ablation variants
 # like nosel/noupdate also carry a wmax but are intentionally broken)
 _PRODUCTION_VARIANTS = {"full", "dense", "w15_new", "w15_old", "w23",
-                        "w48", "s75_dense"}
+                        "w31", "w48", "s75_dense"}
 
 
 def idle_guard() -> None:
@@ -101,17 +102,19 @@ def suite_weighted_device_rate(headline_rate: float) -> tuple[float, str]:
 
     rates: dict[int, float] = {}
     source = "headline rate only (no ablation artifact)"
-    try:
-        with open(ABLATE_ARTIFACT) as f:
-            for rec in json.load(f):
-                if rec.get("variant") in _PRODUCTION_VARIANTS:
-                    # latest-listed wins; entries are per (wmax, strength)
-                    rates.setdefault(rec["wmax"], rec["mp_per_s"])
+    for artifact in ABLATE_ARTIFACTS:
+        try:
+            with open(artifact) as f:
+                for rec in json.load(f):
+                    if rec.get("variant") in _PRODUCTION_VARIANTS:
+                        # latest-listed wins; entries are per (wmax, strength)
+                        rates.setdefault(rec["wmax"], rec["mp_per_s"])
+        except (OSError, ValueError, KeyError):
+            continue
         if rates:
             source = f"suite-weighted over classes {sorted(rates)} " \
-                     f"({os.path.basename(ABLATE_ARTIFACT)})"
-    except (OSError, ValueError, KeyError):
-        pass
+                     f"({os.path.basename(artifact)})"
+            break
     inv_sum = 0.0
     for s in range(1, 100):
         inv_sum += 1.0 / rates.get(wmax_class_for(s), headline_rate)
