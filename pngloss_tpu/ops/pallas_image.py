@@ -190,7 +190,7 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
     for c, wg in enumerate(wgt_list):
         w8 = jnp.where(ri8 == c, wg, w8)
 
-    def body(x, carry):
+    def body_core(x, carry, orig_px, above_px, oprev_px, ce_mem):
         # all carries are (8, L) pixel blocks; channel-independent math
         # runs once on the whole block (channels on sublanes) and only the
         # histogram-coupled selection runs per channel.  The Sierra error
@@ -200,20 +200,16 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
         # with ONE memory op instead of the 10 per-step read-modify-writes
         # the buffers would otherwise take (the adds happen in the same
         # order, so the committed values are bit-identical).
+        # orig_px/above_px/oprev_px/ce_mem arrive pre-read (the unrolled
+        # pair loop fetches them as (16, L) blocks shared by two pixels;
+        # all four source buffers are read-only during the scan).
         (left8, prev_above, prev_orig, prev_oprev, e_hi8, e_lo8, msad,
          p_a, p_b, n1, n2, n3, n4, m2, m3) = carry
         cmask = (x < wr_ref[:, :]).astype(jnp.int32)        # (1, L)
-        orig_px = orig_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
-        above_px = qprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
-        # (the oprev read exists only for the derivative error — its cost
-        # belongs to the noderiv ablation term)
-        oprev_px = orig_px if _ABLATE_NODERIV else \
-            oprev_s[pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE), :]
-        # the carried-error read: the seeded buffer (previous row's
+        # the carried-error value: the seeded buffer (previous row's
         # diffusion) plus the pending in-register contributions from the
         # last two steps (rem at x-1, threes at x-2)
-        ce_px = err0_s[pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE),
-                       :] + p_a
+        ce_px = ce_mem + p_a
 
         # ---- channel-batched predictor + band math on (8, L) blocks ----
         if _ABLATE_NOPRED:
@@ -422,10 +418,48 @@ def _image_kernel(s_ref, bleed_ref, wr_ref, rank_ref, orig_row_ref,
 
     z8 = jnp.zeros((STRIDE, l5), jnp.int32)
     msad0 = tuple(z8 for _ in range(NUM_FILTERS)) if adaptive else ()
+    carry = (z8, z8, z8, z8, z8, z8, msad0,
+             z8, z8, z8, z8, z8, z8, z8, z8)
+
+    # unroll-by-2: the 15-element (8, L) carry crosses the loop boundary
+    # once per TWO pixels (halving the loop-control/carry shuffle share
+    # of the scan shell — ABLATE_r5: shell = 43% of device time), and the
+    # four read-only per-pixel fetches (orig, qprev, oprev, carried
+    # error) become shared (16, L) block loads sliced per pixel.  The
+    # body runs identically per pixel, so results are bit-identical by
+    # construction.  Odd widths take a static single-pixel epilogue.
+    def read_one(x):
+        sl = pl.ds(pl.multiple_of(x * STRIDE, 8), STRIDE)
+        orig_px = orig_s[sl, :]
+        above_px = qprev_s[sl, :]
+        # (the oprev read exists only for the derivative error — its
+        # cost belongs to the noderiv ablation term)
+        oprev_px = orig_px if _ABLATE_NODERIV else oprev_s[sl, :]
+        ce_mem = err0_s[
+            pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), STRIDE), :]
+        return orig_px, above_px, oprev_px, ce_mem
+
+    def body(x, c):
+        return body_core(x, c, *read_one(x))
+
+    def body2(i, c):
+        x = 2 * i
+        sl2 = pl.ds(pl.multiple_of(x * STRIDE, 8), 2 * STRIDE)
+        orig2 = orig_s[sl2, :]
+        above2 = qprev_s[sl2, :]
+        oprev2 = orig2 if _ABLATE_NODERIV else oprev_s[sl2, :]
+        ce2 = err0_s[
+            pl.ds(pl.multiple_of((x + 2) * STRIDE, 8), 2 * STRIDE), :]
+        c = body_core(x, c, orig2[:STRIDE], above2[:STRIDE],
+                      oprev2[:STRIDE], ce2[:STRIDE])
+        return body_core(x + 1, c, orig2[STRIDE:], above2[STRIDE:],
+                         oprev2[STRIDE:], ce2[STRIDE:])
+
+    carry = lax.fori_loop(0, w // 2, body2, carry)
+    if w % 2:
+        carry = body(w - 1, carry)
     (_, _, _, _, e_hi8, e_lo8, msad,
-     p_a, p_b, n1, n2, n3, n4, m2, m3) = lax.fori_loop(
-        0, w, body, (z8, z8, z8, z8, z8, z8, msad0,
-                     z8, z8, z8, z8, z8, z8, z8, z8))
+     p_a, p_b, n1, n2, n3, n4, m2, m3) = carry
 
     # flush the register windows: e0n pendings map to cols w..w+3 (col
     # w+4 receives nothing — its seed stands), e1n pendings to cols
